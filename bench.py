@@ -1,0 +1,92 @@
+"""Benchmark: greedy matching pursuit atoms/sec/chip (the BASELINE.json
+north-star metric) on the canonical config — 512-atom dictionary,
+16k-sample segment, 100 sparse-code iterations.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the speedup over a numpy CPU implementation of the
+reference's greedy loop (conv correlate -> argmax -> subtract), measured
+on this host — the "CPU-reference MP atoms/sec" denominator from
+BASELINE.json (target >= 50x).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def cpu_reference_mp(signal: np.ndarray, d: np.ndarray, n_steps: int) -> float:
+    """Greedy MP, numpy, mirroring modules/matchingpursuit.py semantics.
+    Returns atoms/sec."""
+    batch, _, n_samples = signal.shape
+    n_atoms, atom_size = d.shape
+    d = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+    residual = np.pad(signal.copy(), ((0, 0), (0, 0), (0, atom_size)))
+    fft_len = 1 << int(np.ceil(np.log2(n_samples + atom_size)))
+    d_spec = np.conj(np.fft.rfft(d, fft_len, axis=-1))
+
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        sig_spec = np.fft.rfft(residual[..., :n_samples], fft_len, axis=-1)
+        fm = np.fft.irfft(sig_spec[:, :, None, :] * d_spec[None, None, :, :],
+                          fft_len, axis=-1)[:, 0, :, :n_samples]
+        flat = fm.reshape(batch, -1)
+        idx = np.argmax(flat, axis=-1)
+        val = flat[np.arange(batch), idx]
+        ai = idx // n_samples
+        pos = idx % n_samples
+        for b in range(batch):
+            residual[b, 0, pos[b]:pos[b] + atom_size] -= val[b] * d[ai[b]]
+        residual[..., n_samples:] = 0
+    elapsed = time.perf_counter() - start
+    return (n_steps * batch) / elapsed
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mptpu.sparse import sparse_code
+
+    n_atoms, atom_size = 512, 512
+    n_samples = 16384
+    n_steps = 100
+    batch = 8  # amortize per-step overhead; atoms/sec counts all items
+
+    rng = np.random.default_rng(0)
+    d_np = rng.standard_normal((n_atoms, atom_size)).astype(np.float32)
+    sig_np = rng.standard_normal((batch, 1, n_samples)).astype(np.float32)
+
+    d = jnp.asarray(d_np)
+    sig = jnp.asarray(sig_np)
+
+    coder = jax.jit(lambda s, d: sparse_code(s, d, n_steps=n_steps))
+    # compile
+    out = coder(sig, d)
+    jax.block_until_ready(out.residual)
+    # timed runs
+    runs = 3
+    start = time.perf_counter()
+    for _ in range(runs):
+        out = coder(sig, d)
+        jax.block_until_ready(out.residual)
+    elapsed = (time.perf_counter() - start) / runs
+    tpu_atoms_per_sec = (n_steps * batch) / elapsed
+
+    # CPU reference baseline (single batch item to keep it quick, then
+    # scale: the numpy loop is batch-linear)
+    cpu_aps = cpu_reference_mp(sig_np[:1], d_np, n_steps=10)
+
+    result = {
+        "metric": "mp_atoms_per_sec_per_chip",
+        "value": round(tpu_atoms_per_sec, 2),
+        "unit": "atoms/sec/chip (512 atoms x 512 taps, 16k samples, 100 steps, batch 8)",
+        "vs_baseline": round(tpu_atoms_per_sec / cpu_aps, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

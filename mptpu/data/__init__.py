@@ -1,0 +1,32 @@
+"""L5 data layer: file discovery, cached decode, infinite batch streams,
+deterministic chunk iteration (reference ``data/`` — SURVEY.md §2.2)."""
+
+from .datastore import (
+    iter_files,
+    audio,
+    batch_stream,
+    iter_chunks,
+    iter_audio_segments,
+)
+from .audioiter import (
+    AudioIterator,
+    get_one_audio_segment,
+    get_one_audio_batch,
+)
+from .synthetic import synthetic_audio, ensure_demo_dataset
+from .kv import KVCollection, cache
+
+__all__ = [
+    "iter_files",
+    "audio",
+    "batch_stream",
+    "iter_chunks",
+    "iter_audio_segments",
+    "AudioIterator",
+    "get_one_audio_segment",
+    "get_one_audio_batch",
+    "synthetic_audio",
+    "ensure_demo_dataset",
+    "KVCollection",
+    "cache",
+]

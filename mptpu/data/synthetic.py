@@ -1,0 +1,65 @@
+"""Synthetic audio for tests/benchmarks when no dataset is mounted.
+
+The reference assumes a local MusicNet mirror (``readme.md:98-103``); this
+image has no audio data, so benchmarks and smoke tests synthesize
+plausible material: sums of decaying harmonic tones + noise transients —
+spectrally similar enough to exercise every codec path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..utils.wav import write_wav
+
+
+def synthetic_audio(
+    n_samples: int,
+    samplerate: int = 22050,
+    n_events: int = 16,
+    seed: int = 0,
+) -> np.ndarray:
+    """One mono segment of decaying-harmonic events (float32, max-normed)."""
+    rng = np.random.default_rng(seed)
+    out = np.zeros(n_samples, dtype=np.float64)
+    t = np.arange(n_samples) / samplerate
+    for _ in range(n_events):
+        f0 = rng.uniform(55.0, 1760.0)
+        start = rng.integers(0, max(1, n_samples - samplerate // 4))
+        dur = int(rng.uniform(0.05, 0.5) * samplerate)
+        dur = min(dur, n_samples - start)
+        env = np.exp(-np.linspace(0, rng.uniform(3, 12), dur))
+        seg = np.zeros(dur)
+        for h in range(1, 6):
+            if f0 * h < samplerate / 2:
+                seg += rng.uniform(0.2, 1.0) / h * np.sin(
+                    2 * np.pi * f0 * h * t[:dur] + rng.uniform(0, 2 * np.pi)
+                )
+        # noise attack transient
+        attack = min(256, dur)
+        seg[:attack] += rng.standard_normal(attack) * np.linspace(1, 0, attack) * 0.5
+        out[start : start + dur] += seg * env * rng.uniform(0.3, 1.0)
+    mx = np.abs(out).max() + 1e-8
+    return (out / mx).astype(np.float32)
+
+
+def ensure_demo_dataset(
+    directory: str,
+    n_files: int = 4,
+    seconds: float = 12.0,
+    samplerate: int = 22050,
+) -> str:
+    """Write a small synthetic WAV corpus if the directory is empty."""
+    os.makedirs(directory, exist_ok=True)
+    existing = [f for f in os.listdir(directory) if f.endswith(".wav")]
+    if not existing:
+        n = int(seconds * samplerate)
+        for i in range(n_files):
+            write_wav(
+                os.path.join(directory, f"synthetic_{i}.wav"),
+                synthetic_audio(n, samplerate, seed=i),
+                samplerate,
+            )
+    return directory

@@ -1,0 +1,66 @@
+"""L3 synthesis / event-generator layer — the decoder zoo
+(reference ``modules/eventgenerators/`` + ``modules/{transfer,reverb,ddsp,
+reds,impulse,ssm}.py``; SURVEY.md §2.1).
+
+Event generators are pure ``generate(params_dict, ...) -> audio`` functions
+plus a ``shape_spec`` dict declaring the latent heads that drive them (the
+contract from reference ``eventgenerators/generator.py:6-12``); a
+``MultiHeadTransform`` (mptpu.nn) materializes one MLP head per entry.
+"""
+
+from .generator import EventGenerator, ShapeSpec
+from .schedule import (
+    DiracScheduler,
+    FFTShiftScheduler,
+    HierarchicalDiracModel,
+    hierarchical_dirac,
+    interpretable_fft_shift,
+)
+from .transfer import (
+    make_waves,
+    make_waves_vectorized,
+    freq_domain_transfer_function_to_resonance,
+    damped_harmonic_oscillator,
+    gaussian_bandpass_filtered,
+    fft_convolve_correlation,
+    ResonanceBank,
+)
+from .reverb import NeuralReverb, ReverbGenerator
+from .ddsp import noise_bank2, band_filtered_noise, oscillator_bank
+from .splat import SplattingEventGenerator, exponential_decay
+from .ssm import state_space_model, StateSpaceModelEventGenerator
+from .impulse import GenerateImpulse, GenerateMix
+from .reds import F0Resonance
+from .convimpulse import ConvImpulseEventGenerator
+from .overfitresonance import OverfitResonanceModel
+
+__all__ = [
+    "EventGenerator",
+    "ShapeSpec",
+    "DiracScheduler",
+    "FFTShiftScheduler",
+    "HierarchicalDiracModel",
+    "hierarchical_dirac",
+    "interpretable_fft_shift",
+    "make_waves",
+    "make_waves_vectorized",
+    "freq_domain_transfer_function_to_resonance",
+    "damped_harmonic_oscillator",
+    "gaussian_bandpass_filtered",
+    "fft_convolve_correlation",
+    "ResonanceBank",
+    "NeuralReverb",
+    "ReverbGenerator",
+    "noise_bank2",
+    "band_filtered_noise",
+    "oscillator_bank",
+    "SplattingEventGenerator",
+    "exponential_decay",
+    "state_space_model",
+    "StateSpaceModelEventGenerator",
+    "GenerateImpulse",
+    "GenerateMix",
+    "F0Resonance",
+    "ConvImpulseEventGenerator",
+    "OverfitResonanceModel",
+]

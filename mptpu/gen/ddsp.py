@@ -1,0 +1,104 @@
+"""DDSP primitives: filtered-noise banks and oscillator banks (reference
+``modules/ddsp.py:20-100`` noise paths, ``OscillatorBank`` ``:188``).
+
+Noise is explicit-key ``jax.random`` (the torch versions draw global RNG).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fft import rfft, irfft
+from ..ops.overlap_add import overlap_add
+from ..ops.pdf import pdf
+from ..ops.stft import _frame
+from ..ops.upsample import interpolate_last_axis
+from ..ops.windows import hann_window, hamming_window
+
+
+def noise_spec(key, n_audio_samples: int, ws: int = 512, step: int = 256):
+    """STFT of white noise: (frames, coeffs) (reference ``ddsp.py:20-41``)."""
+    x = jax.random.uniform(key, (n_audio_samples,), minval=-1.0, maxval=1.0)
+    x = jnp.pad(x, (0, step))
+    framed = _frame(x, ws, step)
+    framed = framed * hamming_window(ws, dtype=framed.dtype)
+    return rfft(framed, axis=-1, norm="ortho")
+
+
+def band_filtered_noise(
+    key,
+    n_audio_samples: int,
+    ws: int = 512,
+    step: int = 256,
+    mean=0.5,
+    std=0.1,
+):
+    """Gaussian band-pass filtered white noise, per (batch, atom, frame)
+    mean/std trajectories in [0,1] of Nyquist (reference
+    ``ddsp.py:44-68``)."""
+    batch, atoms, seq_len = mean.shape
+    frames = n_audio_samples // step
+    spec = noise_spec(key, n_audio_samples, ws, step)  # (frames+, coeffs)
+    n_coeffs = spec.shape[-1]
+    mean = mean * n_coeffs
+    std = std * n_coeffs
+    grid = jnp.arange(n_coeffs).reshape(1, 1, n_coeffs, 1)
+    filt = pdf(grid, mean[:, :, None, :], std[:, :, None, :])
+    filt = filt / jnp.max(filt)
+    spec = spec.T[None, None, ...] * filt  # (batch, atoms, coeffs, frames)
+    spec = spec.reshape(batch, atoms, n_coeffs, frames)
+    spec = jnp.transpose(spec, (0, 1, 3, 2))
+    windowed = irfft(spec, axis=-1, norm="ortho")
+    samples = overlap_add(windowed)
+    return samples[..., :n_audio_samples]
+
+
+def noise_bank2(key, x: jax.Array) -> jax.Array:
+    """Frame-wise rFFT filters applied to white noise + OLA — the DDSP
+    filtered-noise synthesizer (reference ``ddsp.py:71-100``).
+
+    x: (batch, n_coeffs, frames) filter magnitudes
+    returns (batch, 1, frames * (n_coeffs-1))
+    """
+    batch, magnitudes, samples = x.shape
+    window_size = (magnitudes - 1) * 2
+    hop_size = window_size // 2
+    total_samples = hop_size * samples
+
+    noise = jax.random.uniform(
+        key, (batch, total_samples), minval=-1.0, maxval=1.0
+    )
+    noise = jnp.pad(noise, ((0, 0), (0, hop_size)))
+    framed = _frame(noise, window_size, hop_size)
+    framed = framed * hann_window(window_size, dtype=framed.dtype)
+    noise_coeffs = rfft(framed, axis=-1, norm="ortho")
+
+    filt = jnp.transpose(x, (0, 2, 1))
+    filtered = noise_coeffs * filt
+
+    audio = irfft(filtered, n=window_size, axis=-1, norm="ortho")
+    audio = overlap_add(audio[:, None, :, :], apply_window=True)
+    return audio[..., :total_samples].reshape(batch, 1, -1)
+
+
+def oscillator_bank(
+    f0: jax.Array,
+    amplitudes: jax.Array,
+    n_samples: int,
+    samplerate: int,
+    n_harmonics: int = 8,
+) -> jax.Array:
+    """Additive harmonic oscillator bank: frame-rate f0 in [0,1] of Nyquist
+    + per-harmonic amplitudes -> audio (the DDSP ``OscillatorBank``
+    capability, reference ``ddsp.py:188-290``, via cumulative phase)."""
+    batch = f0.shape[0]
+    f0 = interpolate_last_axis(f0, n_samples)            # (batch, n_samples)
+    amps = interpolate_last_axis(amplitudes, n_samples)  # (batch, H, n_samples)
+    nyquist = samplerate / 2
+    freqs = f0[:, None, :] * (jnp.arange(1, n_harmonics + 1)[None, :, None])
+    # silence harmonics above nyquist
+    mask = (freqs * nyquist < nyquist).astype(f0.dtype)
+    phase = jnp.cumsum(freqs * jnp.pi, axis=-1)
+    sig = jnp.sin(phase) * amps * mask
+    return jnp.sum(sig, axis=1, keepdims=True)

@@ -1,0 +1,38 @@
+"""L2 perceptual-loss layer (SURVEY.md §2.1 losses rows).
+
+Parity targets: ``modules/iterative.py`` (iterative loss),
+``modules/multibanddict.py:19-49`` (multiband spectrograms),
+``modules/infoloss.py`` (CorrelationLoss), ``loss/least_squares.py`` +
+``train/gan.py`` (GAN losses), ``loss/serial.py`` (serial / MP losses).
+"""
+
+from .iterative import iterative_loss, sort_channels_descending_norm
+from .multiband_spec import (
+    multiband_spectrogram,
+    flattened_multiband_spectrogram,
+    stft_transform,
+)
+from .correlation import correlation_loss, noise_loss, multiband_noise_loss, covariance
+from .gan import (
+    least_squares_generator_loss,
+    least_squares_disc_loss,
+    squared_gan_loss,
+)
+from .serial import serial_loss, serial_matching_pursuit
+
+__all__ = [
+    "iterative_loss",
+    "sort_channels_descending_norm",
+    "multiband_spectrogram",
+    "flattened_multiband_spectrogram",
+    "stft_transform",
+    "correlation_loss",
+    "noise_loss",
+    "multiband_noise_loss",
+    "covariance",
+    "least_squares_generator_loss",
+    "least_squares_disc_loss",
+    "squared_gan_loss",
+    "serial_loss",
+    "serial_matching_pursuit",
+]

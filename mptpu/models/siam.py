@@ -1,0 +1,301 @@
+"""SIAM iterative decomposition codec — the flagship model (BASELINE
+config #4).
+
+Capability parity with reference ``iterativedecomposition.py:110-375``:
+an anti-causal dilated-conv encoder emits one (event vector, scheduling)
+pair per step; the ``OverfitResonanceModel`` decoder renders it; the
+residual spectrogram (stop-gradient) feeds the next step. 32 steps of
+encode -> generate -> subtract, then the greedy ``iterative_loss``.
+
+TPU design notes:
+- the 32-step loop is ``lax.scan`` over shared encoder/decoder params
+  (reference has a python loop re-running the same modules,
+  ``iterativedecomposition.py:340-349``); ``stop_gradient`` reproduces
+  ``.clone().detach()`` semantics on the residual carry.
+- the per-batch-item scheduling scatter (``:223-226``) is vmapped.
+- streaming encode (``:275-319``) keeps the reference's half-overlap
+  window walk as a host loop around the jitted per-window program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+import flax.linen as nn
+
+from ..ops.stft import stft
+from ..ops.ste import sparse_softmax
+from ..sparse.topk import sparsify, sparsify_vectors
+from ..nn.anticausal import AntiCausalAnalysis
+from ..nn.multihead import MultiHeadTransform
+from ..nn.init import uniform_init
+from ..gen.overfitresonance import OverfitResonanceModel
+
+
+def siam_transform(
+    x: jax.Array, window_size: int = 2048, step_size: int = 256
+) -> jax.Array:
+    """Audio -> (batch, n_coeffs, frames) magnitude STFT (the reference's
+    module-level ``transform``, ``iterativedecomposition.py:75-82``)."""
+    batch = x.shape[0]
+    n_coeffs = window_size // 2 + 1
+    spec = stft(x, window_size, step_size, pad=True)
+    spec = spec.reshape(batch, -1, n_coeffs)
+    return jnp.transpose(spec, (0, 2, 1))
+
+
+class SIAMModel(nn.Module):
+    """Encoder + multihead + resonance decoder (reference ``Model``,
+    ``iterativedecomposition.py:129-375``)."""
+
+    n_samples: int = 2**17
+    samplerate: int = 22050
+    context_dim: int = 32
+    in_channels: int = 1025
+    hidden_channels: int = 128
+    n_events: int = 32
+    transform_window_size: int = 2048
+    transform_step_size: int = 256
+    with_activation_norm: bool = False
+    fft_resonance: bool = True
+
+    @property
+    def n_frames(self) -> int:
+        return self.n_samples // self.transform_step_size
+
+    def transform(self, x: jax.Array) -> jax.Array:
+        return siam_transform(
+            x, self.transform_window_size, self.transform_step_size
+        )
+
+    def setup(self):
+        self.encoder = AntiCausalAnalysis(
+            in_channels=self.in_channels,
+            channels=self.hidden_channels,
+            kernel_size=2,
+            dilations=[1, 2, 4, 8, 16, 32, 64, 1],
+            pos_encodings=False,
+            do_norm=False,
+            with_activation_norm=self.with_activation_norm,
+        )
+        self.to_event_vectors = nn.Dense(
+            self.context_dim, kernel_init=uniform_init(0.02)
+        )
+        self.to_event_switch = nn.Dense(1, kernel_init=uniform_init(0.02))
+        self.resonance = OverfitResonanceModel(
+            n_noise_filters=32,
+            noise_expressivity=8,
+            noise_filter_samples=128,
+            noise_deformations=16,
+            instr_expressivity=8,
+            n_events=1,
+            n_resonances=4096,
+            n_envelopes=64,
+            n_deformations=64,
+            n_samples=self.n_samples,
+            n_frames=self.n_frames,
+            samplerate=self.samplerate,
+            hidden_channels=self.hidden_channels,
+            context_dim=self.context_dim,
+            fine_positioning=True,
+            fft_resonance=self.fft_resonance,
+        )
+        self.multihead = MultiHeadTransform(
+            latent_dim=self.context_dim,
+            hidden_channels=self.hidden_channels,
+            n_layers=2,
+            shapes=self.resonance.shape_spec,
+        )
+
+    def encode(self, transformed: jax.Array):
+        """One event per call: returns (vecs (b, 1, context), scheduling
+        (b, 1, frames)) — reference ``:192-228`` including the
+        second-half attention mask (the streaming trick)."""
+        batch_size = transformed.shape[0]
+        encoded = self.encoder(transformed)  # (batch, hidden, frames)
+
+        ev_in = jnp.transpose(encoded, (0, 2, 1))
+        event_vecs = self.to_event_vectors(ev_in)  # (batch, time, context)
+        attn = jax.nn.relu(
+            self.to_event_switch(ev_in)
+        ).reshape(batch_size, 1, -1)
+
+        frame_count = attn.shape[-1]
+        half = frame_count // 2
+        mask = jnp.ones_like(attn).at[:, :, half:].set(0.0)
+        attn = attn * mask
+
+        attn, attn_indices, _ = sparsify(attn, n_to_keep=1, return_indices=True)
+        vecs, indices = sparsify_vectors(
+            jnp.transpose(event_vecs, (0, 2, 1)), attn, n_to_keep=1
+        )
+        # scheduling[b, 0, indices[b]] = attn[b, 0, indices[b]]
+        sel = jnp.take_along_axis(attn[:, 0, :], indices, axis=-1)  # (b, 1)
+        scheduling = jnp.zeros((batch_size, 1, frame_count), attn.dtype)
+        scheduling = jax.vmap(
+            lambda s, i, v: s.at[0, i].set(v)
+        )(scheduling, indices[:, 0], sel[:, 0])
+        return vecs, scheduling
+
+    def generate(self, vecs: jax.Array, scheduling: jax.Array, key: jax.Array):
+        choices = self.multihead(vecs)
+        return self.resonance(choices, scheduling, key)
+
+    def iterative(
+        self,
+        audio_or_spec: jax.Array,
+        key: jax.Array,
+        do_transform: bool = True,
+        return_residual: bool = False,
+    ):
+        """n_events steps of encode/generate/subtract (reference
+        ``:321-371``). Returns (channels (b, E, n), vecs (b, E, C),
+        schedules (b, E, F)[, residual spec])."""
+        spec = self.transform(audio_or_spec) if do_transform else audio_or_spec
+
+        channels, vecs, schedules = [], [], []
+        for i in range(self.n_events):
+            v, sched = self.encode(spec)
+            ch = self.generate(v, sched, jax.random.fold_in(key, i))
+            current = self.transform(ch)
+            spec = lax.stop_gradient(spec - current)
+            channels.append(ch)
+            vecs.append(v)
+            schedules.append(sched)
+
+        channels = jnp.concatenate(channels, axis=1)
+        vecs = jnp.concatenate(vecs, axis=1)
+        schedules = jnp.concatenate(schedules, axis=1)
+        if return_residual:
+            return channels, vecs, schedules, spec
+        return channels, vecs, schedules
+
+    def __call__(self, audio: jax.Array, key: jax.Array):
+        return self.iterative(audio, key)
+
+
+def make_random_sequence_fn(model: SIAMModel):
+    """Render events from reservoir-sampled vectors at random sparse times
+    (reference ``random_sequence``, ``iterativedecomposition.py:241-273``).
+    Returns a jittable fn(params, vecs, key) -> (audio, vecs, times)."""
+
+    n_events = model.n_events
+    n_frames = model.n_frames
+
+    def random_sequence(params, vecs, key):
+        batch_size = vecs.shape[0]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        raw_times = jax.random.normal(
+            k1, (batch_size, n_events, n_frames)
+        )
+        raw_times = raw_times.at[:, :, n_frames // 2 :].set(0.0)
+        times = sparse_softmax(raw_times, normalize=True, axis=-1)
+        times = (
+            times
+            * jax.random.uniform(k2, times.shape)
+            * jax.random.bernoulli(k3, 0.5, times.shape)
+        )
+        outs = []
+        for i in range(n_events):
+            outs.append(
+                model.apply(
+                    params,
+                    vecs[:, i : i + 1, :],
+                    times[:, i : i + 1, :],
+                    jax.random.fold_in(k4, i),
+                    method=SIAMModel.generate,
+                )
+            )
+        return jnp.concatenate(outs, axis=1), vecs, times
+
+    return random_sequence
+
+
+class Reservoir:
+    """Host-side reservoir of recent event vectors for self-supervised
+    previews (reference ``iterativedecomposition.py:174-175,357-360``)."""
+
+    def __init__(self, size: int, context_dim: int, seed: int = 0):
+        self.size = size
+        self.buffer = np.zeros((size, context_dim), dtype=np.float32)
+        self.rng = np.random.default_rng(seed)
+
+    def update(self, vecs: np.ndarray):
+        v = np.asarray(vecs).reshape(-1, self.buffer.shape[1])
+        indices = self.rng.permutation(self.size)[: v.shape[0]]
+        self.buffer[indices] = v[: len(indices)]
+
+    def sample(self, batch_size: int, n_events: int) -> np.ndarray:
+        total = batch_size * n_events
+        indices = self.rng.permutation(self.size)[:total]
+        return self.buffer[indices].reshape(
+            batch_size, n_events, self.buffer.shape[1]
+        )
+
+
+def streaming_encode(
+    model: SIAMModel,
+    params,
+    audio: jax.Array,
+    key: jax.Array,
+    return_event_vectors: bool = False,
+):
+    """Half-overlap streaming window walk over arbitrary-length audio
+    (reference ``streaming``, ``iterativedecomposition.py:275-319``).
+
+    Host loop: each window runs the jitted iterative program; residual
+    spectrogram is written back so later windows see earlier removals.
+    """
+    samps = audio.shape[-1]
+    window_size = model.n_samples
+    spec = model.transform(audio)
+    time = spec.shape[-1]
+    frame_window = model.n_frames
+    frame_step = frame_window // 2
+
+    iterative_fn = jax.jit(
+        lambda p, s, k: model.apply(
+            p, s, k, do_transform=False, return_residual=True,
+            method=SIAMModel.iterative,
+        )
+    )
+
+    segments = jnp.zeros((1, model.n_events, samps + window_size))
+    all_vecs, all_times, all_events = [], [], []
+
+    spec = np.asarray(spec)
+    step_count = 0
+    for i in range(0, time - frame_window, frame_step):
+        window = jnp.asarray(spec[:, :, i : i + frame_window])
+        channels, vecs, schedules, residual = iterative_fn(
+            params, window, jax.random.fold_in(key, step_count)
+        )
+        step_count += 1
+        spec[:, :, i : i + frame_window] = np.asarray(residual)
+        start_sample = i * model.transform_step_size
+        segments = lax.dynamic_update_slice(
+            segments,
+            lax.dynamic_slice(
+                segments, (0, 0, start_sample), (1, model.n_events, window_size)
+            )
+            + channels,
+            (0, 0, start_sample),
+        )
+        all_vecs.append(vecs)
+        all_times.append(schedules)
+        all_events.append(channels)
+
+    final = jnp.sum(segments, axis=1, keepdims=True)[..., :samps]
+    if not return_event_vectors:
+        return final
+    return (
+        final,
+        jnp.concatenate(all_vecs, axis=1),
+        jnp.concatenate(all_times, axis=1),
+        jnp.concatenate(all_events, axis=1),
+    )

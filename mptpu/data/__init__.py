@@ -15,6 +15,7 @@ from .audioiter import (
 )
 from .synthetic import synthetic_audio, ensure_demo_dataset
 from .kv import KVCollection, cache
+from .native import NativeAudioLoader, native_available, build_native
 
 __all__ = [
     "iter_files",
@@ -29,4 +30,7 @@ __all__ = [
     "ensure_demo_dataset",
     "KVCollection",
     "cache",
+    "NativeAudioLoader",
+    "native_available",
+    "build_native",
 ]

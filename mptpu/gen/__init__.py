@@ -33,6 +33,16 @@ from .impulse import GenerateImpulse, GenerateMix
 from .reds import F0Resonance
 from .convimpulse import ConvImpulseEventGenerator
 from .overfitresonance import OverfitResonanceModel
+from .waveguide import WaveguideSynth, waveguide_synth_scan
+from .physical import gaussian_window, TransferFunctionSegmentGenerator
+from .audiomodel import OscillatorBank as OscillatorBankModule, AudioModel
+from .lookups import (
+    SampleResonanceLookup,
+    FFTResonanceLookup,
+    WavetableLookup,
+    MultibandResonanceLookup,
+    MultiSSM,
+)
 
 __all__ = [
     "EventGenerator",
@@ -63,4 +73,15 @@ __all__ = [
     "F0Resonance",
     "ConvImpulseEventGenerator",
     "OverfitResonanceModel",
+    "WaveguideSynth",
+    "waveguide_synth_scan",
+    "gaussian_window",
+    "TransferFunctionSegmentGenerator",
+    "SampleResonanceLookup",
+    "FFTResonanceLookup",
+    "WavetableLookup",
+    "MultibandResonanceLookup",
+    "MultiSSM",
+    "OscillatorBankModule",
+    "AudioModel",
 ]

@@ -347,7 +347,7 @@ class OverfitResonanceModel(nn.Module, EventGenerator):
         impulses = Envelopes(
             self.n_envelopes,
             128 * 32,
-            full_size=8192,
+            full_size=min(8192, self.n_samples),
             padded_size=self.n_samples,
             max_events=32,
             with_noise=True,

@@ -3,6 +3,8 @@
 from .splat_overfit import OverfitHierarchicalEvents, splat_loss_transform
 from .ssm_overfit import InstrumentModel, OverfitControlPlane
 from .siam import SIAMModel
+from .pointcloud import CanonicalOrdering, GraphEdgeEmbedding, pairwise_differences
+from .search import BruteForceSearch, k_nearest, build_index
 
 __all__ = [
     "OverfitHierarchicalEvents",
@@ -10,4 +12,10 @@ __all__ = [
     "InstrumentModel",
     "OverfitControlPlane",
     "SIAMModel",
+    "CanonicalOrdering",
+    "GraphEdgeEmbedding",
+    "pairwise_differences",
+    "BruteForceSearch",
+    "k_nearest",
+    "build_index",
 ]

@@ -23,6 +23,7 @@ from .mixer import MixerStack
 from .dilated import DilatedStack
 from .unet import UNet, DownsamplingDiscriminator
 from .upsample import ConvUpsample
+from .transformer import Transformer, ForwardBlock, fourier_mix, MetaFormer, MetaFormerBlock
 
 __all__ = [
     "uniform_init",
@@ -43,4 +44,9 @@ __all__ = [
     "UNet",
     "DownsamplingDiscriminator",
     "ConvUpsample",
+    "Transformer",
+    "ForwardBlock",
+    "fourier_mix",
+    "MetaFormer",
+    "MetaFormerBlock",
 ]

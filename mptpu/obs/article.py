@@ -43,7 +43,7 @@ class ImageComponent:
     height: int = 200
 
     def render(self) -> str:
-        arr = np.asarray(self.array)
+        arr = np.nan_to_num(np.asarray(self.array, dtype=np.float64))
         arr = arr.reshape(arr.shape[0], -1) if arr.ndim > 2 else np.atleast_2d(arr)
         arr = arr - arr.min()
         arr = arr / (arr.max() + 1e-9)

@@ -24,7 +24,9 @@ def encode_audio(samples: np.ndarray, samplerate: int = 22050) -> bytes:
     buf = io.BytesIO()
     import wave
 
-    samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+    samples = np.nan_to_num(
+        np.asarray(samples, dtype=np.float32).reshape(-1)
+    )
     ints = (np.clip(samples, -1, 1) * 32767).astype("<i2")
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)

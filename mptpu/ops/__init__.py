@@ -37,6 +37,14 @@ from .ste import (
     straight_through,
 )
 from .windows import hann_window
+from .features import amplitude_envelope, mfcc, chroma, chroma_basis
+from .custom_grads import (
+    scalar_position,
+    differentiable_fft_shift,
+    schedule_atoms,
+    position_render,
+    diff_index,
+)
 
 __all__ = [
     "n_fft_coeffs",
@@ -72,4 +80,13 @@ __all__ = [
     "hard_softmax",
     "straight_through",
     "hann_window",
+    "amplitude_envelope",
+    "mfcc",
+    "chroma",
+    "chroma_basis",
+    "scalar_position",
+    "differentiable_fft_shift",
+    "schedule_atoms",
+    "position_render",
+    "diff_index",
 ]

@@ -6,6 +6,14 @@ from .gammatone import gammatone_filter_bank
 from .aim import rectified_filter_bank, auditory_image_model, auditory_image
 from .pif import fft_based_pif
 from .feature import cochlea_filter_bank, cochlea_model, periodicity_feature
+from .filterbank import (
+    morlet_filter_bank,
+    mel_scale_hz,
+    filter_bank_convolve,
+    avg_pool_1d,
+)
+from .scattering import scattering_transform, MoreCorrectScattering
+from .psychoacoustic import PsychoacousticFeature
 
 __all__ = [
     "gammatone_filter_bank",
@@ -16,4 +24,11 @@ __all__ = [
     "cochlea_filter_bank",
     "cochlea_model",
     "periodicity_feature",
+    "morlet_filter_bank",
+    "mel_scale_hz",
+    "filter_bank_convolve",
+    "avg_pool_1d",
+    "scattering_transform",
+    "MoreCorrectScattering",
+    "PsychoacousticFeature",
 ]

@@ -20,7 +20,7 @@ from .matching_pursuit import (
     reconstruct_from_events,
     SparseCodeResult,
 )
-from .quantize import select_items, hard_choice
+from .quantize import select_items, hard_choice, QuantizedResonanceMixture
 from .multiband import BandSpec, MultibandDictionaryLearning
 
 __all__ = [
@@ -37,6 +37,7 @@ __all__ = [
     "SparseCodeResult",
     "select_items",
     "hard_choice",
+    "QuantizedResonanceMixture",
     "BandSpec",
     "MultibandDictionaryLearning",
 ]

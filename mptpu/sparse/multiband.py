@@ -129,6 +129,7 @@ class BandSpec:
     def store(self, directory: str = "."):
         import os
 
+        os.makedirs(directory, exist_ok=True)
         path = os.path.join(directory, self.filename)
         with open(path, "wb") as f:
             pickle.dump(np.asarray(self.d), f)

@@ -38,3 +38,57 @@ def select_items(
     """``hard_choice(selections) @ items``."""
     sel = hard_choice(selections, selection_type, key=key)
     return sel @ items
+
+
+class QuantizedResonanceMixture:
+    """Latent -> quantized code (sparse softmax) -> relu mixture over a
+    saw/square/tri/sine wavetable (reference ``modules/quantize.py:42-80``,
+    flax-free: weights are explicit params created by ``init``)."""
+
+    def __init__(
+        self,
+        n_resonances: int,
+        quantize_dim: int,
+        n_samples: int,
+        samplerate: int,
+    ):
+        from ..gen.transfer import make_waves
+        from ..utils.music import musical_scale_hz
+
+        self.n_resonances = n_resonances
+        self.quantize_dim = quantize_dim
+        self.n_samples = n_samples
+        f0s = musical_scale_hz(
+            start_midi=21, stop_midi=106, n_steps=n_resonances // 4
+        )
+        self.waves = make_waves(n_samples, f0s.tolist(), samplerate).reshape(
+            1, n_resonances, n_samples
+        )
+
+    def init(self, key):
+        import jax.numpy as jnp
+
+        k1, k2 = jax.random.split(key)
+        lim1 = 1.0 / jnp.sqrt(self.n_resonances)
+        lim2 = 1.0 / jnp.sqrt(self.quantize_dim)
+        return {
+            "to_quantized": jax.random.uniform(
+                k1, (self.n_resonances, self.quantize_dim),
+                minval=-lim1, maxval=lim1,
+            ),
+            "to_choice": jax.random.uniform(
+                k2, (self.quantize_dim, self.n_resonances),
+                minval=-lim2, maxval=lim2,
+            ),
+        }
+
+    def __call__(self, params, x, return_code: bool = False):
+        import jax.numpy as jnp
+
+        q = x @ params["to_quantized"]
+        quantized = sparse_softmax(q, normalize=True, axis=-1)
+        choice = jax.nn.relu(quantized @ params["to_choice"])
+        resonances = choice @ self.waves
+        if return_code:
+            return quantized, resonances
+        return resonances

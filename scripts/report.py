@@ -1,0 +1,156 @@
+"""Static demo-page generator (reference ``v3blogpost.py`` /
+``splat_report.py`` / ``streaming_report.py`` /
+``vector_based_event_model_report.py``): load trained SIAM weights,
+reconstruct a segment (including streaming encode of long audio), render
+event scatterplots, and export a standalone HTML article.
+
+Usage:
+  python scripts/report.py [--checkpoint trained_weights/siam]
+      [--out report.html] [--tiny] [--streaming]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mptpu.utils.platform import apply_platform_from_env
+apply_platform_from_env()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mptpu.data import get_one_audio_segment
+from mptpu.models.siam import SIAMModel, streaming_encode
+from mptpu.obs import conjure_article, AudioComponent, ImageComponent
+from mptpu.ops import max_norm, stft
+from mptpu.train import load_checkpoint, CheckpointManager
+
+
+def event_scatter_svg(vecs: np.ndarray, times: np.ndarray, width=400, height=200):
+    """Inline SVG scatter of events: x=time, y=first PC of event vector
+    (the t-SNE scatter analog of ``scatter.py``)."""
+    v = vecs.reshape(-1, vecs.shape[-1])
+    t = times.reshape(-1)
+    # first principal component without sklearn
+    c = v - v.mean(0)
+    u, s, vt = np.linalg.svd(c, full_matrices=False)
+    pc = c @ vt[0]
+    pc = (pc - pc.min()) / (np.ptp(pc) + 1e-9)
+    t = (t - t.min()) / (np.ptp(t) + 1e-9)
+    dots = "".join(
+        f'<circle cx="{float(x) * width:.1f}" cy="{(1 - float(y)) * height:.1f}" '
+        f'r="4" fill="rgba(80,80,220,0.6)"/>'
+        for x, y in zip(t, pc)
+    )
+    return (
+        f'<svg viewBox="0 0 {width} {height}" width="100%" height="{height}">'
+        f"{dots}</svg>"
+    )
+
+
+class _SvgComponent:
+    def __init__(self, svg, title=""):
+        self.svg, self.title = svg, title
+
+    def render(self):
+        t = f"<h4>{self.title}</h4>" if self.title else ""
+        return f'<div class="component">{t}{self.svg}</div>'
+
+
+def make_report(
+    checkpoint_dir: str | None,
+    out_path: str,
+    tiny: bool = False,
+    streaming: bool = False,
+    audio_path: str | None = None,
+):
+    if tiny:
+        model = SIAMModel(
+            n_samples=2**13, context_dim=16, in_channels=257,
+            hidden_channels=32, n_events=4,
+            transform_window_size=512, transform_step_size=256,
+            fft_resonance=True,
+        )
+    else:
+        model = SIAMModel()
+
+    key = jax.random.PRNGKey(0)
+    samplerate = 22050
+    segment = get_one_audio_segment(
+        model.n_samples, samplerate, audio_path=audio_path
+    ).reshape(1, 1, model.n_samples)
+
+    params = None
+    if checkpoint_dir:
+        payload = CheckpointManager(checkpoint_dir).latest()
+        if payload is not None:
+            params = payload["params"]
+            print(f"loaded checkpoint at step {payload['step']}")
+    if params is None:
+        print("no checkpoint found — reporting with freshly initialized weights")
+        params = model.init(key, segment, key)
+
+    channels, vecs, schedules = model.apply(params, segment, key)
+    recon = max_norm(jnp.sum(channels, axis=1, keepdims=True))
+
+    event_times = np.asarray(jnp.argmax(schedules, axis=-1), dtype=np.float64)
+
+    components = [
+        AudioComponent(np.asarray(segment[0, 0]), samplerate, "Original"),
+        AudioComponent(np.asarray(recon[0, 0]), samplerate, "Reconstruction"),
+        ImageComponent(
+            np.asarray(stft(recon, 512, 256, pad=True))[0, 0].T,
+            "Reconstruction spectrogram",
+        ),
+        _SvgComponent(
+            event_scatter_svg(np.asarray(vecs), event_times),
+            "Event vectors over time",
+        ),
+    ]
+
+    if streaming:
+        long_audio = get_one_audio_segment(
+            model.n_samples * 2, samplerate, audio_path=audio_path
+        ).reshape(1, 1, -1)
+        streamed = streaming_encode(model, params, long_audio, key)
+        components.append(
+            AudioComponent(
+                np.asarray(max_norm(streamed)[0, 0]),
+                samplerate,
+                "Streaming reconstruction (2x segment length)",
+            )
+        )
+
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)
+    )
+    conjure_article(
+        out_path,
+        "Sparse Interpretable Audio Model",
+        components,
+        intro_markdown=(
+            "# Sparse interpretable audio codec\n"
+            f"Model size: {n_params / 1e6:.2f}M parameters. "
+            f"{model.n_events} events per {model.n_samples / samplerate:.1f}s segment."
+        ),
+    )
+    print(f"report -> {out_path}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", type=str, default="trained_weights/siam")
+    parser.add_argument("--out", type=str, default="report.html")
+    parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--streaming", action="store_true")
+    parser.add_argument("--audio-path", type=str, default=None)
+    args = parser.parse_args()
+    make_report(
+        args.checkpoint, args.out, tiny=args.tiny,
+        streaming=args.streaming, audio_path=args.audio_path,
+    )

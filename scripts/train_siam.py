@@ -1,0 +1,182 @@
+"""SIAM iterative-decomposition trainer — the flagship entry point
+(reference ``iterativedecomposition.py:377-647``).
+
+Streams audio batches, runs the 32-step encode/generate loop, optimizes
+the iterative (greedy energy-removal) loss, maintains the event-vector
+reservoir for self-supervised previews, serves the live dashboard, and
+checkpoints (params, opt_state, step).
+
+Usage:
+  python scripts/train_siam.py [--overfit] [--batch-size N] [--port 9999]
+      [--save-weights] [--load-weights] [--iterations N] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mptpu.utils.platform import apply_platform_from_env
+apply_platform_from_env()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from mptpu.data import AudioIterator
+from mptpu.losses import iterative_loss
+from mptpu.models.siam import SIAMModel, Reservoir, make_random_sequence_fn, siam_transform
+from mptpu.obs import Collection, serve_collection
+from mptpu.train import optimizer, CheckpointManager
+
+
+def train_and_monitor(
+    batch_size: int = 2,
+    overfit: bool = False,
+    port: int = 9999,
+    save_weights: bool = False,
+    load_weights: bool = False,
+    iterations: int | None = None,
+    tiny: bool = False,
+    audio_path: str | None = None,
+):
+    if tiny:
+        n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
+        window, step_sz = 512, 256
+        in_channels = window // 2 + 1
+    else:
+        # reference hyperparams (iterativedecomposition.py:25-42)
+        n_samples, n_events, hidden, context_dim = 2**17, 32, 128, 32
+        window, step_sz = 2048, 256
+        in_channels = window // 2 + 1
+
+    model = SIAMModel(
+        n_samples=n_samples,
+        context_dim=context_dim,
+        in_channels=in_channels,
+        hidden_channels=hidden,
+        n_events=n_events,
+        transform_window_size=window,
+        transform_step_size=step_sz,
+        fft_resonance=True,
+    )
+
+    stream = AudioIterator(
+        batch_size=batch_size,
+        n_samples=n_samples,
+        samplerate=22050,
+        normalize=True,
+        overfit=overfit,
+        audio_path=audio_path,
+    )
+
+    collection = Collection(os.path.join("trained_weights", "siam_dashboard"))
+    server = serve_collection(collection, port=port) if port else None
+
+    key = jax.random.PRNGKey(0)
+    example = jnp.zeros((batch_size, 1, n_samples))
+    params = model.init(key, example, key)
+
+    opt = optimizer(lr=1e-4)
+    opt_state = opt.init(params)
+    ckpt = CheckpointManager("trained_weights/siam", every=100)
+    reservoir = Reservoir(256, context_dim)
+    random_seq = jax.jit(make_random_sequence_fn(model))
+
+    start_iter = 0
+    if load_weights:
+        payload = ckpt.latest()
+        if payload is not None:
+            params = payload["params"]
+            opt_state = payload["opt_state"] or opt_state
+            start_iter = payload["step"]
+            print(f"resumed from step {start_iter}")
+
+    def loss_fn(params, target, key):
+        channels, vecs, schedules = model.apply(params, target, key)
+        loss = iterative_loss(
+            target, channels,
+            lambda x: siam_transform(x, window, step_sz),
+        )
+        return loss, (channels, vecs)
+
+    @jax.jit
+    def train_step(params, opt_state, target, key):
+        (loss, (channels, vecs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, target, key)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        ok = jnp.isfinite(loss)
+        params_out = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_params, params
+        )
+        opt_out = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
+        )
+        return params_out, opt_out, loss, channels, vecs
+
+    losses = []
+    for i, item in enumerate(iter(stream), start=start_iter):
+        if iterations is not None and i >= iterations:
+            break
+        k = jax.random.fold_in(key, i)
+        t0 = time.time()
+        params, opt_state, loss, channels, vecs = train_step(
+            params, opt_state, item, k
+        )
+        loss = float(loss)
+        losses.append(loss)
+        elapsed = time.time() - t0
+        print(f"iter {i} loss {loss:.4f} ({elapsed:.2f}s)")
+
+        reservoir.update(np.asarray(vecs))
+
+        collection.log("orig", np.asarray(item[0, 0]), kind="audio")
+        recon = np.asarray(jnp.sum(channels, axis=1)[0])
+        collection.log("recon", recon, kind="audio")
+        collection.log("loss", np.asarray(losses[-200:]))
+
+        if i % 10 == 0 and i > 0:
+            # self-supervised preview from reservoir-sampled vectors
+            rvecs = jnp.asarray(reservoir.sample(1, n_events))
+            rand_audio, _, _ = random_seq(params, rvecs, k)
+            collection.log(
+                "random", np.asarray(jnp.sum(rand_audio, axis=1)[0]), kind="audio"
+            )
+
+        if save_weights:
+            ckpt.maybe_save(i, params, opt_state)
+
+    if server:
+        server.shutdown()
+    return params, losses
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--overfit", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=2)
+    parser.add_argument("--port", type=int, default=9999)
+    parser.add_argument("--save-weights", action="store_true")
+    parser.add_argument("--load-weights", action="store_true")
+    parser.add_argument("--iterations", type=int, default=None)
+    parser.add_argument("--tiny", action="store_true",
+                        help="small config for smoke testing")
+    parser.add_argument("--audio-path", type=str, default=None)
+    args = parser.parse_args()
+    train_and_monitor(
+        batch_size=args.batch_size,
+        overfit=args.overfit,
+        port=args.port,
+        save_weights=args.save_weights,
+        load_weights=args.load_weights,
+        iterations=args.iterations,
+        tiny=args.tiny,
+        audio_path=args.audio_path,
+    )

@@ -1,0 +1,148 @@
+"""Flagship model smoke tests (tiny shapes — single-core CPU CI)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestSplatOverfit:
+    def test_render_and_one_grad_step(self):
+        from mptpu.models import OverfitHierarchicalEvents, splat_loss_transform
+        from mptpu.losses import iterative_loss
+
+        n = 2**12
+        model = OverfitHierarchicalEvents(
+            n_samples=n, samplerate=22050, n_events=4, context_dim=8
+        )
+        params = model.init(KEY, KEY)
+        rendered, vectors, times = model.apply(params, KEY)
+        assert rendered.shape == (1, 4, n)
+        assert vectors.shape == (1, 4, 8)
+        assert np.isfinite(np.asarray(rendered)).all()
+
+        target = jax.random.normal(jax.random.PRNGKey(1), (1, 1, n)) * 0.1
+
+        def loss_fn(p, key):
+            r, _, _ = model.apply(p, key)
+            return iterative_loss(target, r, splat_loss_transform)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params, KEY)
+        assert np.isfinite(float(loss))
+        gnorm = optax.global_norm(grads)
+        assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+class TestSSMOverfit:
+    def test_overfit_control_plane(self):
+        from mptpu.models import OverfitControlPlane
+
+        model = OverfitControlPlane(
+            control_plane_dim=8,
+            input_dim=16,
+            state_matrix_dim=16,
+            n_samples=512,
+            window_size=16,
+            n_active_sites=16,
+        )
+        params = model.init(KEY)
+        audio, diff = model.apply(params)
+        assert audio.shape == (1, 1, 512)
+        assert np.isfinite(np.asarray(audio)).all()
+        rand = model.apply(params, KEY, 0.01, method=OverfitControlPlane.random)
+        assert rand.shape == (1, 1, 512)
+
+    def test_ssm_loss_decreases(self):
+        from mptpu.models import OverfitControlPlane
+        from mptpu.losses import flattened_multiband_spectrogram
+
+        model = OverfitControlPlane(
+            control_plane_dim=8,
+            input_dim=16,
+            state_matrix_dim=16,
+            n_samples=1024,
+            window_size=16,
+        )
+        params = model.init(KEY)
+        target = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 1024)) * 0.1
+
+        def transform(x):
+            return flattened_multiband_spectrogram(
+                x, stft_spec={"s": (64, 16)}, smallest_band_size=512
+            )
+
+        def loss_fn(p):
+            audio, diff = model.apply(p)
+            return jnp.abs(transform(audio) - transform(target)).sum()
+
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s, l
+
+        losses = []
+        for _ in range(10):
+            params, opt_state, l = step(params, opt_state)
+            losses.append(float(l))
+        assert losses[-1] < losses[0]
+
+
+class TestSIAM:
+    def test_iterative_decomposition_tiny(self):
+        from mptpu.models.siam import SIAMModel
+
+        model = SIAMModel(
+            n_samples=2**12,
+            context_dim=8,
+            in_channels=257,
+            hidden_channels=16,
+            n_events=2,
+            transform_window_size=512,
+            transform_step_size=256,
+            fft_resonance=True,
+        )
+        audio = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 2**12)) * 0.1
+        params = model.init(KEY, audio, KEY)
+        channels, vecs, schedules = model.apply(params, audio, KEY)
+        assert channels.shape == (1, 2, 2**12)
+        assert vecs.shape == (1, 2, 8)
+        assert schedules.shape == (1, 2, model.n_frames)
+        assert np.isfinite(np.asarray(channels)).all()
+        # the streaming trick: all events in the first half of frames
+        sched = np.asarray(schedules)
+        assert sched[:, :, model.n_frames // 2 :].sum() == 0
+
+    def test_siam_gradients(self):
+        from mptpu.models.siam import SIAMModel
+        from mptpu.losses import iterative_loss
+        from mptpu.models.siam import siam_transform
+
+        model = SIAMModel(
+            n_samples=2**11,
+            context_dim=8,
+            in_channels=257,
+            hidden_channels=16,
+            n_events=2,
+            transform_window_size=512,
+            transform_step_size=256,
+            fft_resonance=True,
+        )
+        audio = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 2**11)) * 0.1
+        params = model.init(KEY, audio, KEY)
+
+        def loss_fn(p):
+            channels, _, _ = model.apply(p, audio, KEY)
+            return iterative_loss(
+                audio, channels, lambda x: siam_transform(x, 512, 256)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        assert np.isfinite(float(optax.global_norm(grads)))

@@ -48,7 +48,7 @@ def cpu_reference_mp(signal: np.ndarray, d: np.ndarray, n_steps: int) -> float:
 def main():
     import jax
     import jax.numpy as jnp
-    from mptpu.sparse import sparse_code
+    from mptpu.sparse import sparse_code_fast
 
     n_atoms, atom_size = 512, 512
     n_samples = 16384
@@ -62,7 +62,7 @@ def main():
     d = jnp.asarray(d_np)
     sig = jnp.asarray(sig_np)
 
-    coder = jax.jit(lambda s, d: sparse_code(s, d, n_steps=n_steps))
+    coder = jax.jit(lambda s, d: sparse_code_fast(s, d, n_steps=n_steps))
     # compile
     out = coder(sig, d)
     jax.block_until_ready(out.residual)

@@ -20,6 +20,7 @@ from .matching_pursuit import (
     reconstruct_from_events,
     SparseCodeResult,
 )
+from .fast_mp import sparse_code_fast, dictionary_gram
 from .quantize import select_items, hard_choice, QuantizedResonanceMixture
 from .multiband import BandSpec, MultibandDictionaryLearning
 
@@ -35,6 +36,8 @@ __all__ = [
     "scatter_events",
     "reconstruct_from_events",
     "SparseCodeResult",
+    "sparse_code_fast",
+    "dictionary_gram",
     "select_items",
     "hard_choice",
     "QuantizedResonanceMixture",

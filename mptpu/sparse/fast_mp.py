@@ -1,0 +1,133 @@
+"""Fast greedy matching pursuit: incremental correlation updates.
+
+The naive greedy loop re-correlates the full residual against the whole
+dictionary every step (O(steps * n_samples * atom_size * n_atoms) MACs).
+But subtracting ``v * d[a]`` at position ``p`` changes the correlation map
+by exactly ``-v * gram[a]`` in a ``2*atom_size-1`` window around ``p``,
+where ``gram[a, b, l] = sum_k d[a, k] * d[b, k - l]`` is the dictionary
+auto-correlation — so after one initial correlation, each greedy step is:
+
+  argmax over the map  ->  subtract a gram slice  ->  fix the boundary.
+
+The boundary fix: the reference clips atom energy past the signal end
+(``matchingpursuit.py:31-56`` pad-and-trim), so for events with
+``p > n_samples - atom_size`` the full-gram update is wrong for map
+positions whose window overlaps the clipped tail. Those are only the last
+``atom_size`` positions — recomputed exactly each step with one small
+(batch, atom_size, atom_size) x (atom_size, n_atoms) matmul on the MXU.
+
+Per step: O(n_atoms * atom_size) gram update + O(atom_size^2 * n_atoms)
+boundary matmul — ~30x fewer FLOPs than the naive loop at the benchmark
+config (512 atoms x 512 taps x 16k samples), and the argmax reduction
+becomes the bottleneck. Numerically identical selections to
+``sparse_code`` up to float accumulation (validated in tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.correlation import mp_correlate
+from ..ops.norms import unit_norm
+from .matching_pursuit import SparseCodeResult, _normalize_dict
+
+
+def dictionary_gram(d: jax.Array) -> jax.Array:
+    """(n_atoms, n_atoms, 2*atom_size-1) full-lag auto-correlation.
+
+    ``gram[a, b, A-1 + s] = sum_k d[a, k] * d[b, k - s]`` — the change to
+    atom b's correlation at offset s when atom a is subtracted.
+    """
+    n_atoms, atom_size = d.shape
+    padded = jnp.pad(d, ((0, 0), (atom_size - 1, atom_size - 1)))
+    # conv with flipped kernels == correlation at all lags
+    return lax.conv_general_dilated(
+        padded[:, None, :],
+        d[:, None, :],
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )  # (n_atoms signals, n_atoms filters, 2A-1)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def sparse_code_fast(
+    signal: jax.Array,
+    d: jax.Array,
+    n_steps: int = 100,
+) -> SparseCodeResult:
+    """Drop-in fast path for ``sparse_code`` (1-channel dictionaries)."""
+    if signal.ndim == 2:
+        signal = signal[:, None, :]
+    batch, channels, n_samples = signal.shape
+    assert channels == 1, "fast path supports single-channel signals"
+    d2 = d if d.ndim == 2 else d[:, 0, :]
+    n_atoms, atom_size = d2.shape
+    d2 = unit_norm(d2)
+
+    gram = dictionary_gram(d2)  # (A_idx, n_atoms, 2A-1)
+    pad = atom_size - 1
+
+    # initial full correlation (the only full-size conv)
+    fm0 = mp_correlate(signal, d2)  # (B, n_atoms, n_samples)
+    fm0 = jnp.pad(fm0, ((0, 0), (0, 0), (pad, pad)))
+
+    # residual kept padded by atom_size; tail zeroed after each subtract
+    res0 = jnp.pad(signal[:, 0, :], ((0, 0), (0, atom_size)))
+
+    # boundary-fix gather indices: windows starting at the last A positions
+    tail_starts = n_samples - atom_size + jnp.arange(atom_size)
+    tail_idx = tail_starts[:, None] + jnp.arange(atom_size)[None, :]
+
+    def step(carry, _):
+        residual, fm = carry
+        valid = fm[:, :, pad : pad + n_samples]
+        flat = valid.reshape(batch, -1)
+        idx = jnp.argmax(flat, axis=-1)
+        value = jnp.take_along_axis(flat, idx[:, None], axis=-1)[:, 0]
+        atom_index = (idx // n_samples).astype(jnp.int32)
+        position = (idx % n_samples).astype(jnp.int32)
+
+        # residual surgery (clip semantics)
+        def sub(r, a, p, v):
+            seg = lax.dynamic_slice(r, (p,), (atom_size,))
+            r = lax.dynamic_update_slice(r, seg - v * d2[a], (p,))
+            return r
+
+        residual = jax.vmap(sub)(residual, atom_index, position, value)
+        residual = residual.at[:, n_samples:].set(0.0)
+
+        # incremental map update: fm[b, :, p-(A-1) .. p+(A-1)] -= v*gram[a]
+        def upd(f, a, p, v):
+            window = lax.dynamic_slice(
+                f, (0, p), (n_atoms, 2 * atom_size - 1)
+            )
+            return lax.dynamic_update_slice(
+                f, window - v * gram[a], (0, p)
+            )
+
+        fm = jax.vmap(upd)(fm, atom_index, position, value)
+
+        # exact boundary recompute for the last atom_size positions
+        windows = residual[:, tail_idx]               # (B, A, A)
+        tail_fm = jnp.einsum(
+            "bta,na->bnt", windows, d2,
+            preferred_element_type=jnp.float32,
+        )                                             # (B, n_atoms, A)
+        fm = lax.dynamic_update_slice(
+            fm, tail_fm, (0, 0, pad + n_samples - atom_size)
+        )
+
+        return (residual, fm), (atom_index, position, value)
+
+    (residual, _), (atom_indices, positions, values) = lax.scan(
+        step, (res0, fm0), None, length=n_steps
+    )
+    return SparseCodeResult(
+        atom_indices, positions, values, residual[:, None, :n_samples]
+    )

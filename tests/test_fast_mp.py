@@ -1,0 +1,67 @@
+"""Fast (incremental-gram) MP engine: exact parity with the naive scan."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mptpu.sparse import sparse_code, sparse_code_fast, dictionary_gram
+from mptpu.ops import unit_norm
+
+RNG = np.random.default_rng(7)
+
+
+def test_gram_definition():
+    d = unit_norm(jnp.asarray(RNG.standard_normal((4, 8)).astype(np.float32)))
+    g = np.asarray(dictionary_gram(d))
+    dn = np.asarray(d)
+    A = 8
+    # gram[a, b, A-1+s] = sum_k d[a,k] d[b,k-s]
+    for a in range(4):
+        for b in range(4):
+            for s in [-3, 0, 2]:
+                expected = sum(
+                    dn[a, k] * dn[b, k - s]
+                    for k in range(A)
+                    if 0 <= k - s < A
+                )
+                assert abs(g[a, b, A - 1 + s] - expected) < 1e-4
+
+
+def test_fast_matches_naive():
+    sig = jnp.asarray(RNG.standard_normal((2, 1, 1024)).astype(np.float32))
+    d = jnp.asarray(RNG.standard_normal((16, 64)).astype(np.float32))
+    a = sparse_code(sig, d, n_steps=12)
+    b = sparse_code_fast(sig, d, n_steps=12)
+    np.testing.assert_array_equal(
+        np.asarray(a.atom_indices), np.asarray(b.atom_indices)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.positions), np.asarray(b.positions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.values), np.asarray(b.values), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.residual), np.asarray(b.residual), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_fast_boundary_clipping_parity():
+    """Events whose atoms clip at the signal end must match the naive
+    engine exactly (the gram update alone would be wrong there)."""
+    d = jnp.asarray(RNG.standard_normal((8, 32)).astype(np.float32))
+    du = np.asarray(unit_norm(d))
+    sig = np.zeros((1, 1, 256), np.float32)
+    sig[0, 0, 240:] = du[2, :16] * 5.0   # clipped plant
+    sig[0, 0, 100:132] = du[5] * 3.0     # interior plant
+    a = sparse_code(jnp.asarray(sig), d, n_steps=4)
+    b = sparse_code_fast(jnp.asarray(sig), d, n_steps=4)
+    np.testing.assert_array_equal(
+        np.asarray(a.atom_indices), np.asarray(b.atom_indices)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.positions), np.asarray(b.positions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.residual), np.asarray(b.residual), rtol=1e-3, atol=1e-5
+    )

@@ -63,15 +63,18 @@ def main():
     sig = jnp.asarray(sig_np)
 
     coder = jax.jit(lambda s, d: sparse_code_fast(s, d, n_steps=n_steps))
-    # compile
-    out = coder(sig, d)
-    jax.block_until_ready(out.residual)
+    # compile + warm up: the axon backend defers heavy work past
+    # block_until_ready, so force a device->host transfer of a value that
+    # depends on every step
+    float(coder(sig, d).values.sum())
+    float(coder(sig, d).values.sum())
     # timed runs
     runs = 3
     start = time.perf_counter()
+    acc = 0.0
     for _ in range(runs):
         out = coder(sig, d)
-        jax.block_until_ready(out.residual)
+        acc += float(out.values.sum())
     elapsed = (time.perf_counter() - start) / runs
     tpu_atoms_per_sec = (n_steps * batch) / elapsed
 

@@ -35,6 +35,7 @@ from .convimpulse import ConvImpulseEventGenerator
 from .overfitresonance import OverfitResonanceModel
 from .waveguide import WaveguideSynth, waveguide_synth_scan
 from .physical import gaussian_window, TransferFunctionSegmentGenerator
+from .ssm_complex import ComplexSSM, CompressionModel, param_count
 from .audiomodel import OscillatorBank as OscillatorBankModule, AudioModel
 from .lookups import (
     SampleResonanceLookup,
@@ -82,6 +83,9 @@ __all__ = [
     "WavetableLookup",
     "MultibandResonanceLookup",
     "MultiSSM",
+    "ComplexSSM",
+    "CompressionModel",
+    "param_count",
     "OscillatorBankModule",
     "AudioModel",
 ]

@@ -5,6 +5,8 @@ from .ssm_overfit import InstrumentModel, OverfitControlPlane
 from .siam import SIAMModel
 from .pointcloud import CanonicalOrdering, GraphEdgeEmbedding, pairwise_differences
 from .search import BruteForceSearch, k_nearest, build_index
+from .mp_model import MatchingPursuit
+from .multiresolution import BandEncoder, EncoderShell, ConvBandDecoder, DecoderShell
 
 __all__ = [
     "OverfitHierarchicalEvents",
@@ -18,4 +20,9 @@ __all__ = [
     "BruteForceSearch",
     "k_nearest",
     "build_index",
+    "MatchingPursuit",
+    "BandEncoder",
+    "EncoderShell",
+    "ConvBandDecoder",
+    "DecoderShell",
 ]

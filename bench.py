@@ -62,7 +62,11 @@ def main():
     d = jnp.asarray(d_np)
     sig = jnp.asarray(sig_np)
 
-    coder = jax.jit(lambda s, d: sparse_code_fast(s, d, n_steps=n_steps))
+    coder = jax.jit(
+        lambda s, d: sparse_code_fast(
+            s, d, n_steps=n_steps, block_argmax=True
+        )
+    )
     # compile + warm up: the axon backend defers heavy work past
     # block_until_ready, so force a device->host transfer of a value that
     # depends on every step

@@ -38,6 +38,14 @@ from .ste import (
 )
 from .windows import hann_window
 from .features import amplitude_envelope, mfcc, chroma, chroma_basis
+from .phase import (
+    windowed_audio,
+    stft_complex,
+    istft,
+    mag_phase_decomposition,
+    mag_phase_recomposition,
+    AudioCodec,
+)
 from .custom_grads import (
     scalar_position,
     differentiable_fft_shift,
@@ -84,6 +92,12 @@ __all__ = [
     "mfcc",
     "chroma",
     "chroma_basis",
+    "windowed_audio",
+    "stft_complex",
+    "istft",
+    "mag_phase_decomposition",
+    "mag_phase_recomposition",
+    "AudioCodec",
     "scalar_position",
     "differentiable_fft_shift",
     "schedule_atoms",

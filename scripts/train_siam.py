@@ -32,6 +32,7 @@ from mptpu.data import AudioIterator
 from mptpu.losses import iterative_loss
 from mptpu.models.siam import SIAMModel, Reservoir, make_random_sequence_fn, siam_transform
 from mptpu.obs import Collection, serve_collection
+from mptpu.parallel import make_mesh, make_data_parallel_step, batch_sharding
 from mptpu.train import optimizer, CheckpointManager
 
 
@@ -44,6 +45,7 @@ def train_and_monitor(
     iterations: int | None = None,
     tiny: bool = False,
     audio_path: str | None = None,
+    data_parallel: bool = False,
 ):
     if tiny:
         n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
@@ -105,6 +107,13 @@ def train_and_monitor(
         )
         return loss, (channels, vecs)
 
+    mesh = None
+    if data_parallel and len(jax.devices()) > 1:
+        # batch-sharded inputs, replicated params; XLA inserts the grad
+        # all-reduce over the ICI (SURVEY.md §2.6 TPU-native plan)
+        mesh = make_mesh(axis_names=("data",))
+        shard = batch_sharding(mesh)
+
     @jax.jit
     def train_step(params, opt_state, target, key):
         (loss, (channels, vecs)), grads = jax.value_and_grad(
@@ -127,6 +136,8 @@ def train_and_monitor(
             break
         k = jax.random.fold_in(key, i)
         t0 = time.time()
+        if mesh is not None:
+            item = jax.device_put(item, shard)
         params, opt_state, loss, channels, vecs = train_step(
             params, opt_state, item, k
         )
@@ -169,6 +180,8 @@ if __name__ == "__main__":
     parser.add_argument("--tiny", action="store_true",
                         help="small config for smoke testing")
     parser.add_argument("--audio-path", type=str, default=None)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the batch over all devices")
     args = parser.parse_args()
     train_and_monitor(
         batch_size=args.batch_size,
@@ -179,4 +192,5 @@ if __name__ == "__main__":
         iterations=args.iterations,
         tiny=args.tiny,
         audio_path=args.audio_path,
+        data_parallel=args.data_parallel,
     )

@@ -235,3 +235,38 @@ def test_greedy_mp_event_parity(ref):
     np.testing.assert_allclose(
         np.asarray(result.residual), residual.numpy(), rtol=1e-3, atol=1e-4
     )
+
+
+def test_recon_snr_parity_at_fixed_sparsity(ref):
+    """BASELINE.md: <=0.1 dB recon-SNR delta at fixed sparsity. Since the
+    event sequences are identical, the SNR delta reduces to float noise —
+    assert it explicitly on a synthetic-audio segment."""
+    from mptpu.sparse import sparse_code_fast, reconstruct_from_events
+    from mptpu.data import synthetic_audio
+
+    n_samples, n_atoms, atom_size, steps = 4096, 64, 128, 32
+    sig_np = synthetic_audio(n_samples, seed=11).reshape(1, 1, -1)
+    d_np = RNG.standard_normal((n_atoms, atom_size)).astype(np.float32)
+
+    # torch reference greedy loop
+    td = ref["normalization"].unit_norm(t(d_np))
+    residual = t(sig_np).clone()
+    for _ in range(steps):
+        fm = ref["conv"].torch_conv(residual, td)
+        flat = fm.reshape(1, -1)
+        idx = int(torch.argmax(flat, dim=-1)[0])
+        val = float(flat[0, idx])
+        ai, pos = idx // n_samples, idx % n_samples
+        seg = residual[0, 0, pos : pos + atom_size]
+        seg -= td[ai, : seg.shape[0]] * val
+    ref_snr = 10 * np.log10(
+        float((t(sig_np) ** 2).sum())
+        / float((residual**2).sum())
+    )
+
+    result = sparse_code_fast(jnp.asarray(sig_np), jnp.asarray(d_np), n_steps=steps)
+    ours_snr = 10 * np.log10(
+        float(jnp.sum(jnp.asarray(sig_np) ** 2))
+        / float(jnp.sum(result.residual**2))
+    )
+    assert abs(ref_snr - ours_snr) < 0.1, (ref_snr, ours_snr)

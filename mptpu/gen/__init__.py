@@ -35,6 +35,7 @@ from .convimpulse import ConvImpulseEventGenerator
 from .overfitresonance import OverfitResonanceModel
 from .waveguide import WaveguideSynth, waveguide_synth_scan
 from .physical import gaussian_window, TransferFunctionSegmentGenerator
+from .recurrent import FrameSynth, RecurrentSynth
 from .ssm_complex import ComplexSSM, CompressionModel, param_count
 from .audiomodel import OscillatorBank as OscillatorBankModule, AudioModel
 from .lookups import (
@@ -83,6 +84,8 @@ __all__ = [
     "WavetableLookup",
     "MultibandResonanceLookup",
     "MultiSSM",
+    "FrameSynth",
+    "RecurrentSynth",
     "ComplexSSM",
     "CompressionModel",
     "param_count",

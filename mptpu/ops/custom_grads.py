@@ -91,12 +91,11 @@ def differentiable_fft_shift(items: jax.Array, positions: jax.Array):
 
 
 def _fft_shifter_fwd(items, positions):
-    return fft_shift(items, positions), (positions.shape, items.dtype)
+    return fft_shift(items, positions), jnp.zeros_like(positions)
 
 
 def _fft_shifter_bwd(res, g):
-    pos_shape, dtype = res
-    return g, jnp.zeros(pos_shape, dtype)
+    return g, res
 
 
 differentiable_fft_shift.defvjp(_fft_shifter_fwd, _fft_shifter_bwd)

@@ -171,7 +171,15 @@ def dictionary_learning_step(
     d3 = _normalize_dict(_as3d(d))
     n_atoms, _, atom_size = d3.shape
 
-    coded = sparse_code(signal, d3, n_steps=n_steps, approx=approx, use_fft=use_fft)
+    if approx is None and not use_fft and channels == 1:
+        # numerically identical fast path (see fast_mp.py)
+        from .fast_mp import sparse_code_fast
+
+        coded = sparse_code_fast(signal, d3[:, 0, :], n_steps=n_steps)
+    else:
+        coded = sparse_code(
+            signal, d3, n_steps=n_steps, approx=approx, use_fft=use_fft
+        )
     ai, pos, val = coded.atom_indices, coded.positions, coded.values  # (S, B)
 
     # padded residual: events may spill past the end; pad region mimics the

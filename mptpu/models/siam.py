@@ -179,6 +179,50 @@ class SIAMModel(nn.Module):
         return self.iterative(audio, key)
 
 
+def make_iterative_fn(model: SIAMModel):
+    """Scan-based iterative decomposition with shared weights.
+
+    The module's ``iterative`` unrolls the n_events python loop — fine for
+    small models, but at the reference scale (32 events, 2^17 samples) the
+    unrolled graph makes XLA compile times explode. This wrapper traces
+    encode+generate ONCE and runs them under ``lax.scan``; semantics are
+    identical (residual carry is stop-gradient, reference
+    ``iterativedecomposition.py:340-349``).
+
+    Returns ``fn(params, spec_or_audio, key, do_transform=True) ->
+    (channels, vecs, schedules, residual_spec)``.
+    """
+
+    def iterative(params, audio_or_spec, key, do_transform: bool = True):
+        spec = (
+            model.transform(audio_or_spec) if do_transform else audio_or_spec
+        )
+
+        def step(carry, i):
+            spec = carry
+            v, sched = model.apply(params, spec, method=SIAMModel.encode)
+            ch = model.apply(
+                params,
+                v,
+                sched,
+                jax.random.fold_in(key, i),
+                method=SIAMModel.generate,
+            )
+            current = model.transform(ch)
+            new_spec = lax.stop_gradient(spec - current)
+            return new_spec, (ch[:, 0], v[:, 0], sched[:, 0])
+
+        residual, (chs, vs, scheds) = lax.scan(
+            step, spec, jnp.arange(model.n_events)
+        )
+        channels = jnp.swapaxes(chs, 0, 1)
+        vecs = jnp.swapaxes(vs, 0, 1)
+        schedules = jnp.swapaxes(scheds, 0, 1)
+        return channels, vecs, schedules, residual
+
+    return iterative
+
+
 def make_random_sequence_fn(model: SIAMModel):
     """Render events from reservoir-sampled vectors at random sparse times
     (reference ``random_sequence``, ``iterativedecomposition.py:241-273``).
@@ -258,17 +302,15 @@ def streaming_encode(
     frame_window = model.n_frames
     frame_step = frame_window // 2
 
+    _scan_fn = make_iterative_fn(model)
     iterative_fn = jax.jit(
-        lambda p, s, k: model.apply(
-            p, s, k, do_transform=False, return_residual=True,
-            method=SIAMModel.iterative,
-        )
+        lambda p, s, k: _scan_fn(p, s, k, do_transform=False)
     )
 
     segments = jnp.zeros((1, model.n_events, samps + window_size))
     all_vecs, all_times, all_events = [], [], []
 
-    spec = np.asarray(spec)
+    spec = np.array(spec)  # writable host copy
     step_count = 0
     for i in range(0, time - frame_window, frame_step):
         window = jnp.asarray(spec[:, :, i : i + frame_window])

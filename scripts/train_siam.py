@@ -30,7 +30,7 @@ import optax
 
 from mptpu.data import AudioIterator
 from mptpu.losses import iterative_loss
-from mptpu.models.siam import SIAMModel, Reservoir, make_random_sequence_fn, siam_transform
+from mptpu.models.siam import SIAMModel, Reservoir, make_random_sequence_fn, make_iterative_fn, siam_transform
 from mptpu.obs import Collection, serve_collection
 from mptpu.parallel import make_mesh, make_data_parallel_step, batch_sharding
 from mptpu.train import optimizer, CheckpointManager
@@ -99,8 +99,11 @@ def train_and_monitor(
             start_iter = payload["step"]
             print(f"resumed from step {start_iter}")
 
+    iterative = make_iterative_fn(model)  # scan-based: compiles ~n_events
+                                          # times faster than the unrolled loop
+
     def loss_fn(params, target, key):
-        channels, vecs, schedules = model.apply(params, target, key)
+        channels, vecs, schedules, _ = iterative(params, target, key)
         loss = iterative_loss(
             target, channels,
             lambda x: siam_transform(x, window, step_sz),

@@ -146,3 +146,57 @@ class TestSIAM:
         loss, grads = jax.value_and_grad(loss_fn)(params)
         assert np.isfinite(float(loss))
         assert np.isfinite(float(optax.global_norm(grads)))
+
+
+class TestStreaming:
+    def test_streaming_encode_tiny(self):
+        from mptpu.models.siam import SIAMModel, streaming_encode
+
+        model = SIAMModel(
+            n_samples=2**11,
+            context_dim=8,
+            in_channels=257,
+            hidden_channels=16,
+            n_events=2,
+            transform_window_size=512,
+            transform_step_size=256,
+            fft_resonance=True,
+        )
+        audio = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 2**12)) * 0.1
+        params = model.init(KEY, audio[..., : 2**11], KEY)
+        out = streaming_encode(model, params, audio, KEY)
+        assert out.shape == (1, 1, 2**12)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestGAN:
+    def test_gan_steps_with_discriminator(self):
+        import optax
+        from mptpu.nn import DownsamplingDiscriminator
+        from mptpu.train import make_gan_steps
+        from mptpu.models import OverfitHierarchicalEvents
+
+        n = 2**11
+        gen = OverfitHierarchicalEvents(
+            n_samples=n, samplerate=22050, n_events=2, context_dim=8
+        )
+        disc = DownsamplingDiscriminator(
+            window_size=256, step_size=128, n_samples=n, channels=16
+        )
+        gp = gen.init(KEY, KEY)
+        batch = jax.random.normal(jax.random.PRNGKey(6), (1, 1, n)) * 0.1
+        dp = disc.init(jax.random.PRNGKey(7), batch)
+
+        def gen_apply(p, batch, key):
+            rendered, _, _ = gen.apply(p, key)
+            return jnp.sum(rendered, axis=1, keepdims=True)
+
+        def disc_apply(p, x):
+            return disc.apply(p, x)
+
+        g_opt = optax.adam(1e-4)
+        d_opt = optax.adam(1e-4)
+        train_gen, train_disc = make_gan_steps(gen_apply, disc_apply, g_opt, d_opt)
+        gp2, gs, gl = train_gen(gp, g_opt.init(gp), dp, batch, KEY)
+        dp2, ds, dl = train_disc(dp, d_opt.init(dp), gp, batch, KEY)
+        assert np.isfinite(float(gl)) and np.isfinite(float(dl))

@@ -7,6 +7,7 @@ from .playable import encode_audio, playable
 from .reporting import audio_data_url, audio_element, section, table_of_contents, html_page
 from .remote import store_trained_weights_remotely, load_trained_weights_for_inference
 from .platform import apply_platform_from_env
+from .readmedocs import readme
 
 __all__ = [
     "midi_to_hz",
@@ -23,4 +24,5 @@ __all__ = [
     "store_trained_weights_remotely",
     "load_trained_weights_for_inference",
     "apply_platform_from_env",
+    "readme",
 ]

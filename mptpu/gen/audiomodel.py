@@ -47,7 +47,7 @@ class OscillatorBank(nn.Module):
 
         if self.complex_valued:
             a = jnp.sqrt(amp**2 + freq**2)
-            f = jnp.angle(amp + 1j * freq) / jnp.pi
+            f = jnp.arctan2(freq, amp) / jnp.pi  # angle(amp + i*freq)
             amp, freq = a, f
         else:
             amp = amp**2 if self.amp_squared else jax.nn.sigmoid(amp)

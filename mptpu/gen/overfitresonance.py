@@ -24,7 +24,7 @@ from jax import lax
 import flax.linen as nn
 
 from ..config.dotenv import Config
-from ..ops.fft import fft_convolve, fft_shift
+from ..ops.fft import fft_convolve, fft_shift, to_complex, cexp
 from ..ops.norms import unit_norm
 from ..ops.ste import sparse_softmax
 from ..ops.upsample import interpolate_last_axis, ensure_last_axis_length
@@ -269,7 +269,7 @@ class SpectralResonance(nn.Module):
             n_coeffs * 2, kernel_init=uniform_init(0.1)
         )(latent)
         coeffs = coeffs.reshape(batch, n_events, expressivity, n_coeffs, 2)
-        spec = coeffs[..., 0] + 1j * coeffs[..., 1]
+        spec = to_complex(coeffs[..., 0], coeffs[..., 1])
         out = jnp.fft.irfft(spec, n=self.n_samples, axis=-1) * np.sqrt(
             self.n_samples
         )

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.fft import rfft, irfft
+from ..ops.fft import rfft, irfft, to_complex
 from ..ops.norms import max_norm
 from ..ops.overlap_add import overlap_add
 from ..ops.pdf import pdf
@@ -83,7 +83,7 @@ class TransferFunctionSegmentGenerator(nn.Module):
 
         real = tf[:, :n_coeffs, :]
         imag = tf[:, n_coeffs:, :]
-        tfc = real + 1j * imag
+        tfc = to_complex(real, imag)
         if self.cumulative:
             tfc = jnp.cumprod(tfc, axis=-1)
 

@@ -42,7 +42,7 @@ class FrameSynth(nn.Module):
         )(x).reshape(batch, time, self.n_osc, 2)
         amp = jnp.swapaxes(jnp.linalg.norm(osc, axis=-1), 1, 2)
         freq = jnp.swapaxes(
-            jnp.angle(osc[..., 0] + 1j * osc[..., 1]) / jnp.pi, 1, 2
+            jnp.arctan2(osc[..., 1], osc[..., 0]) / jnp.pi, 1, 2
         )
         freq = freq * 0.98 + 0.0036
 

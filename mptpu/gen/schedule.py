@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.fft import fft_convolve, rfft, irfft
+from ..ops.fft import fft_convolve, rfft, irfft, cexp
 from ..ops.ste import sparse_softmax
 from ..ops.upsample import upsample_with_holes
 
@@ -26,8 +26,8 @@ def interpretable_fft_shift(a: jax.Array, shift: jax.Array) -> jax.Array:
     shift_samples = shift * n_samples * 0.5
     spec = rfft(a, axis=-1, norm="ortho")
     n_coeffs = spec.shape[-1]
-    omega = (jnp.arange(n_coeffs) * 2j * jnp.pi) / n_coeffs
-    spec = spec * jnp.exp(omega * shift_samples)
+    theta = (jnp.arange(n_coeffs) * 2.0 * jnp.pi / n_coeffs) * shift_samples
+    spec = spec * cexp(theta)
     return irfft(spec, n=n_samples, axis=-1, norm="ortho")
 
 

@@ -17,9 +17,12 @@ from ..ops.overlap_add import overlap_add
 
 
 def _complex_uniform(key, shape, lo=-0.01, hi=0.01):
+    from ..ops.fft import to_complex
+
     kr, ki = jax.random.split(key)
-    return jax.random.uniform(kr, shape, minval=lo, maxval=hi) + 1j * (
-        jax.random.uniform(ki, shape, minval=lo, maxval=hi)
+    return to_complex(
+        jax.random.uniform(kr, shape, minval=lo, maxval=hi),
+        jax.random.uniform(ki, shape, minval=lo, maxval=hi),
     )
 
 
@@ -78,7 +81,13 @@ class ComplexSSM(nn.Module):
             d = inp @ direct_m
             return state + b, c + d
 
-        s0 = jnp.zeros((batch, sdim), dtype)
+        if self.complex_domain:
+            from ..ops.fft import to_complex
+
+            z = jnp.zeros((batch, sdim))
+            s0 = to_complex(z, z)
+        else:
+            s0 = jnp.zeros((batch, sdim), dtype)
         _, outs = lax.scan(step, s0, jnp.swapaxes(h, 0, 1))
         outs = jnp.swapaxes(outs, 0, 1)  # (batch, frames, idim)
 

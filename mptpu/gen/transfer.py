@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 from scipy.signal import square, sawtooth
 
-from ..ops.fft import fft_convolve
+from ..ops.fft import fft_convolve, to_complex, cexp
 from ..ops.norms import max_norm, unit_norm
 from ..ops.overlap_add import overlap_add
 from ..ops.pdf import pdf2
@@ -162,7 +162,7 @@ def freq_domain_transfer_function_to_resonance(
     if start_phase is not None:
         phase = phase + start_phase.reshape(-1, 1, 1, expected_coeffs)
 
-    spec = spec_mag * jnp.exp(1j * phase)
+    spec = spec_mag * cexp(phase)
     windowed = jnp.fft.irfft(spec, n=window_size, axis=-1)
     b = windowed.shape[0]
     if do_overlap_add:

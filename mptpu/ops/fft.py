@@ -25,6 +25,27 @@ def next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1)).bit_length()
 
 
+# Eagerly converting a real array/scalar to complex (convert_element_type
+# -> c64, e.g. ``1j * x`` or ``x + 0j``) is UNIMPLEMENTED on the axon TPU
+# backend, and flax's ``init`` runs modules eagerly — so complex
+# construction goes through these tiny jitted helpers (compiled complex
+# ops are fine; only the eager dispatch path is broken).
+
+
+@jax.jit
+def to_complex(real: jax.Array, imag: jax.Array) -> jax.Array:
+    """real + 1j * imag, safe under eager execution on all backends."""
+    return jax.lax.complex(
+        jnp.asarray(real, jnp.float32), jnp.asarray(imag, jnp.float32)
+    )
+
+
+@jax.jit
+def cexp(phase: jax.Array) -> jax.Array:
+    """exp(1j * phase), safe under eager execution on all backends."""
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
 # jnp.fft's norm="ortho" computes its scale with a traced reduce_prod,
 # which this TPU backend does not implement — so ortho scaling is applied
 # here as a *static* python float instead.
@@ -84,8 +105,10 @@ def fft_shift(a: jax.Array, shift: jax.Array) -> jax.Array:
     padded_len = n_samples * 3
     spec = jnp.fft.rfft(a, n=padded_len, axis=-1)
     n_coeffs = spec.shape[-1]
-    omega = (jnp.arange(n_coeffs) * 2j * jnp.pi) / n_coeffs
-    ramp = jnp.exp(-omega * shift_samples)
+    # phase = -2*pi*k/n_coeffs * shift_samples; complex exp via cexp
+    # (eager complex-scalar construction is unimplemented on axon)
+    theta = -(jnp.arange(n_coeffs) * 2.0 * jnp.pi / n_coeffs) * shift_samples
+    ramp = cexp(theta)
     samples = jnp.fft.irfft(spec * ramp, n=padded_len, axis=-1)
     return samples[..., :n_samples]
 
@@ -104,5 +127,5 @@ def randomize_phase(key: jax.Array, x: jax.Array) -> jax.Array:
     )
     imag = jnp.cumsum(phases, axis=1)
     imag = (imag + jnp.pi) % (2 * jnp.pi) - jnp.pi
-    new_spec = mags * jnp.exp(1j * imag)
+    new_spec = mags * cexp(imag)
     return jnp.fft.irfft(new_spec, n=x.shape[-1], axis=-1)

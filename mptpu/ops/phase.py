@@ -8,7 +8,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fft import rfft as _rfft, irfft as _irfft
+from .fft import rfft as _rfft, irfft as _irfft, cexp
 from .overlap_add import overlap_add
 from .stft import _frame
 from .windows import hann_window
@@ -70,7 +70,7 @@ def mag_phase_recomposition(spec: jax.Array, freqs: jnp.ndarray) -> jax.Array:
     phase = phase + freqs[None, None, :] * 2 * jnp.pi
     imag = jnp.cumsum(phase, axis=1)
     imag = (imag + jnp.pi) % (2 * jnp.pi) - jnp.pi
-    return real * jnp.exp(1j * imag)
+    return real * cexp(imag)
 
 
 class AudioCodec:

@@ -7,6 +7,7 @@ from .pointcloud import CanonicalOrdering, GraphEdgeEmbedding, pairwise_differen
 from .search import BruteForceSearch, k_nearest, build_index
 from .mp_model import MatchingPursuit
 from .multiresolution import BandEncoder, EncoderShell, ConvBandDecoder, DecoderShell
+from .inference import SIAMCodec, SIAMEncoding
 
 __all__ = [
     "OverfitHierarchicalEvents",
@@ -25,4 +26,6 @@ __all__ = [
     "EncoderShell",
     "ConvBandDecoder",
     "DecoderShell",
+    "SIAMCodec",
+    "SIAMEncoding",
 ]

@@ -35,6 +35,7 @@ from .convimpulse import ConvImpulseEventGenerator
 from .overfitresonance import OverfitResonanceModel
 from .waveguide import WaveguideSynth, waveguide_synth_scan
 from .physical import gaussian_window, TransferFunctionSegmentGenerator
+from .instrument import InstrumentLayer, InstrumentStack
 from .goo import SpringMesh, string_mesh, simulate as goo_simulate, pluck_forces
 from .recurrent import FrameSynth, RecurrentSynth
 from .ssm_complex import ComplexSSM, CompressionModel, param_count
@@ -85,6 +86,8 @@ __all__ = [
     "WavetableLookup",
     "MultibandResonanceLookup",
     "MultiSSM",
+    "InstrumentLayer",
+    "InstrumentStack",
     "SpringMesh",
     "string_mesh",
     "goo_simulate",

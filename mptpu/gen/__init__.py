@@ -26,11 +26,12 @@ from .transfer import (
     ResonanceBank,
 )
 from .reverb import NeuralReverb, ReverbGenerator
-from .ddsp import noise_bank2, band_filtered_noise, oscillator_bank
+from .ddsp import noise_bank2, band_filtered_noise, oscillator_bank, harmonic_model
 from .splat import SplattingEventGenerator, exponential_decay
 from .ssm import state_space_model, StateSpaceModelEventGenerator
 from .impulse import GenerateImpulse, GenerateMix
 from .reds import F0Resonance
+from .reds_model import RedsLikeModel
 from .convimpulse import ConvImpulseEventGenerator
 from .overfitresonance import OverfitResonanceModel
 from .waveguide import WaveguideSynth, waveguide_synth_scan
@@ -68,6 +69,7 @@ __all__ = [
     "noise_bank2",
     "band_filtered_noise",
     "oscillator_bank",
+    "harmonic_model",
     "SplattingEventGenerator",
     "exponential_decay",
     "state_space_model",
@@ -75,6 +77,7 @@ __all__ = [
     "GenerateImpulse",
     "GenerateMix",
     "F0Resonance",
+    "RedsLikeModel",
     "ConvImpulseEventGenerator",
     "OverfitResonanceModel",
     "WaveguideSynth",

@@ -102,3 +102,58 @@ def oscillator_bank(
     phase = jnp.cumsum(freqs * jnp.pi, axis=-1)
     sig = jnp.sin(phase) * amps * mask
     return jnp.sum(sig, axis=1, keepdims=True)
+
+
+def harmonic_model(
+    f0: jax.Array,
+    harmonics: jax.Array,
+    profiles: jax.Array,
+    n_voices: int,
+    n_harmonics: int,
+    n_frames: int,
+    n_samples: int,
+    samplerate: int = 22050,
+    freq_hz_range=(40, 4000),
+) -> jax.Array:
+    """Multi-voice harmonic synthesizer: complex-pair f0 trajectories +
+    softmax mixtures over learned harmonic profiles (reference
+    ``modules/ddsp.py:432-516`` HarmonicModel.forward, functional form —
+    ``profiles`` is the learned (n_profiles, n_harmonics) table)."""
+    batch = f0.shape[0]
+    nyquist = samplerate / 2
+    min_freq = freq_hz_range[0] / nyquist
+    max_freq = freq_hz_range[1] / nyquist
+    interval = max_freq - min_freq
+
+    f0 = f0.reshape(batch, n_voices, 2, -1)
+    n_profiles = profiles.shape[0]
+    harmonics = harmonics.reshape(batch, n_voices, n_profiles, -1)
+
+    f0_amp = jnp.linalg.norm(f0, axis=-2) ** 2
+    f0_val = jnp.arctan2(f0[:, :, 1, :], f0[:, :, 0, :]) / jnp.pi
+    f0_val = min_freq + (f0_val**2) * interval
+
+    ratios = jnp.arange(2, 2 + n_harmonics) ** 2
+    harmonic_freqs = jnp.clip(
+        f0_val[:, :, None, :] * ratios[None, None, :, None], 0, 1
+    )
+
+    h = jnp.transpose(harmonics, (0, 1, 3, 2))
+    h = jax.nn.softmax(h, axis=-1) @ profiles
+    harmonic_amp = jnp.clip(jnp.transpose(h, (0, 1, 3, 2)), 0, 1)
+    harmonic_amp = f0_amp[:, :, None, :] * harmonic_amp
+
+    full_freq = jnp.concatenate([f0_val[:, :, None, :], harmonic_freqs], axis=2)
+    full_amp = jnp.concatenate([f0_amp[:, :, None, :], harmonic_amp], axis=2)
+
+    full_freq = interpolate_last_axis(
+        full_freq.reshape(batch * n_voices, n_harmonics + 1, n_frames),
+        n_samples,
+    )
+    full_amp = interpolate_last_axis(
+        full_amp.reshape(batch * n_voices, n_harmonics + 1, n_frames),
+        n_samples,
+    )
+    signal = full_amp * jnp.sin(jnp.cumsum(full_freq, axis=-1) * jnp.pi)
+    signal = signal.reshape(batch, n_voices, n_harmonics + 1, n_samples)
+    return jnp.sum(signal, axis=(1, 2)).reshape(batch, 1, n_samples)

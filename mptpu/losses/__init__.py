@@ -19,6 +19,12 @@ from .gan import (
     squared_gan_loss,
 )
 from .serial import serial_loss, serial_matching_pursuit
+from .infoloss import (
+    SpectralInfoLoss,
+    MultiWindowSpectralInfoLoss,
+    MultiBandSpectralInfoLoss,
+    patches2,
+)
 
 __all__ = [
     "iterative_loss",
@@ -35,4 +41,8 @@ __all__ = [
     "squared_gan_loss",
     "serial_loss",
     "serial_matching_pursuit",
+    "SpectralInfoLoss",
+    "MultiWindowSpectralInfoLoss",
+    "MultiBandSpectralInfoLoss",
+    "patches2",
 ]

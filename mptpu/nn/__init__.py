@@ -10,6 +10,7 @@ from .pos_encode import (
     pos_encode_feature,
     pos_encoded,
     n_features_for_freq,
+    LearnedPosEncodings,
 )
 from .linear import ResidualBlock, ResidualStack, LinearOutputStack
 from .anticausal import (
@@ -31,6 +32,7 @@ __all__ = [
     "pos_encode_feature",
     "pos_encoded",
     "n_features_for_freq",
+    "LearnedPosEncodings",
     "ResidualBlock",
     "ResidualStack",
     "LinearOutputStack",

@@ -47,3 +47,20 @@ def pos_encoded(
     grid = jnp.linspace(-domain, domain, time_dim).reshape(-1, 1)
     pos = pos_encode_feature(grid, 1.0, n_freqs).reshape(1, time_dim, n_features)
     return jnp.broadcast_to(pos, (batch_size, time_dim, n_features))
+
+
+import flax.linen as _nn
+
+
+class LearnedPosEncodings(_nn.Module):
+    """Project sinusoid features and add to the input (reference
+    ``modules/pos_encode.py:69-78``)."""
+
+    n_freqs: int
+    out_channels: int
+
+    @_nn.compact
+    def __call__(self, x):  # (batch, time, out_channels)
+        pos = pos_encoded(x.shape[0], x.shape[1], self.n_freqs)
+        learned = _nn.Dense(self.out_channels)(pos)
+        return x + learned

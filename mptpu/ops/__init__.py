@@ -13,7 +13,7 @@ from .fft import (
     next_pow2,
 )
 from .correlation import mp_correlate, torch_style_conv
-from .stft import stft, log_stft, stft_relative_phase
+from .stft import stft, log_stft, stft_relative_phase, short_time_transform
 from .decompose import (
     fft_frequency_decompose,
     fft_frequency_recompose,
@@ -66,6 +66,7 @@ __all__ = [
     "stft",
     "log_stft",
     "stft_relative_phase",
+    "short_time_transform",
     "fft_frequency_decompose",
     "fft_frequency_recompose",
     "fft_resample",

@@ -74,3 +74,21 @@ def stft_relative_phase(
         phase, axis=-1, prepend=jnp.zeros(phase.shape[:-1] + (1,), phase.dtype)
     )
     return mag, phase
+
+
+def short_time_transform(
+    x: jax.Array, basis: jax.Array, pad: bool = True
+) -> jax.Array:
+    """Windowed projection onto an arbitrary (n_filters, window) basis,
+    keeping the first window//2+1 outputs (reference
+    ``modules/stft.py:101-116``)."""
+    from .windows import hamming_window
+
+    ws = basis.shape[1]
+    ss = ws // 2
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, ss)])
+    framed = _frame(x, ws, ss)
+    framed = framed * hamming_window(ws, dtype=framed.dtype)
+    freq_domain = framed @ basis.T
+    return freq_domain[..., : ws // 2 + 1]

@@ -10,6 +10,9 @@ from .topk import (
     sparsify2,
     sparsify_vectors,
     encourage_sparsity_loss,
+    to_key_points,
+    ElementwiseSparsity,
+    VectorwiseSparsity,
 )
 from .matching_pursuit import (
     sparse_code,
@@ -29,6 +32,9 @@ __all__ = [
     "sparsify2",
     "sparsify_vectors",
     "encourage_sparsity_loss",
+    "to_key_points",
+    "ElementwiseSparsity",
+    "VectorwiseSparsity",
     "sparse_code",
     "dictionary_learning_step",
     "sparse_feature_map",

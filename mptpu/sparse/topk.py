@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import flax.linen as _nn
+
 from ..ops.ste import straight_through
 
 
@@ -173,3 +175,76 @@ def encourage_sparsity_loss(
     srt = jnp.sort(flat, axis=-1)[:, ::-1]
     penalized = srt[:, n_unpenalized:]
     return jnp.abs(penalized).sum() * sparsity_loss_weight
+
+
+def to_key_points(x: jax.Array, n_to_keep: int = 64) -> jax.Array:
+    """(batch, width, height) -> (batch, n_to_keep, 3) key points of
+    (value, width-location, height-location) with soft-dirac locations
+    (reference ``modules/sparse.py:230-271``) — fully batched."""
+    from ..ops.ste import soft_dirac
+
+    batch, width, height = x.shape
+    flat = x.reshape(batch, -1)
+    values, indices = lax.top_k(flat, n_to_keep)
+    row_index = indices % width
+    col_index = indices // height
+
+    w_range = jnp.linspace(0, 1, width)
+    h_range = jnp.linspace(0, 1, height)
+
+    # column/row spans read from the original map, softened to one-hots
+    col_idx = jnp.clip(col_index, 0, height - 1)
+    width_span = jnp.take_along_axis(
+        x, col_idx[:, None, :], axis=2
+    )  # (batch, width, k)
+    width_span = soft_dirac(jnp.swapaxes(width_span, 1, 2), axis=-1)
+    row_idx = jnp.clip(row_index, 0, width - 1)
+    height_span = jnp.take_along_axis(
+        x, row_idx[:, :, None], axis=1
+    )  # (batch, k, height)
+    height_span = soft_dirac(height_span, axis=-1)
+
+    w_loc = width_span @ w_range
+    h_loc = height_span @ h_range
+    return jnp.stack([values, w_loc, h_loc], axis=-1)
+
+
+class ElementwiseSparsity(_nn.Module):
+    """Expand -> top-k -> contract (reference ``modules/sparse.py:318-338``)."""
+
+    model_dim: int
+    high_dim: int = 2048
+    keep: int = 64
+    use_softmax: bool = False
+
+    @_nn.compact
+    def __call__(self, x):  # (batch, model_dim, time)
+        xt = jnp.swapaxes(x, 1, 2)
+        h = _nn.Dense(self.high_dim)(xt)
+        h = jnp.swapaxes(h, 1, 2)
+        if self.use_softmax:
+            h = jax.nn.softmax(h, axis=1)
+        sparse = sparsify(h, self.keep)
+        out = _nn.Dense(self.model_dim)(jnp.swapaxes(sparse, 1, 2))
+        return jnp.swapaxes(out, 1, 2), sparse
+
+
+class VectorwiseSparsity(_nn.Module):
+    """Learned attention -> top-k time-step vectors (reference
+    ``modules/sparse.py:341-371``)."""
+
+    model_dim: int
+    keep: int = 16
+    channels_last: bool = True
+    normalize: bool = False
+
+    @_nn.compact
+    def __call__(self, x):
+        if self.channels_last:
+            x = jnp.swapaxes(x, 1, 2)  # -> (batch, channels, time)
+        batch, channels, time = x.shape
+        attn = _nn.Dense(1)(jnp.swapaxes(x, 1, 2)).reshape(batch, time)
+        latents, indices = sparsify_vectors(
+            x, attn, n_to_keep=self.keep, normalize=self.normalize
+        )
+        return latents, indices

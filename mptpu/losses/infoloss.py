@@ -53,7 +53,8 @@ class SpectralInfoLoss(nn.Module):
     embedding_channels: int = 32
     n_centroids: int = 1024
 
-    def _encode(self, signal):
+    def _encode(self, layers, signal):
+        patch_embed, proj, up = layers
         start_channels = self.stft_window_size // 2 + 1
         if signal.shape[1] != 1:
             spec = signal.reshape(-1, signal.shape[1], start_channels)
@@ -64,10 +65,7 @@ class SpectralInfoLoss(nn.Module):
             ).reshape(-1, frames, start_channels)
 
         raw, norms, normed = patches2(spec, self.patch_size, self.patch_step)
-        kw = dict(kernel_init=uniform_init(0.02), bias_init=nn.initializers.zeros)
-        x = nn.Dense(self.embedding_channels, name="patch_embed", **kw)(normed)
-        x = nn.Dense(self.embedding_channels, name="proj", **kw)(x)
-        x = nn.Dense(self.n_centroids, name="up", **kw)(x)
+        x = up(proj(patch_embed(normed)))
         one_hot = sparse_softmax(x, normalize=True, axis=-1)
         codes = jnp.argmax(x, axis=-1)
         counts = jnp.bincount(
@@ -79,8 +77,14 @@ class SpectralInfoLoss(nn.Module):
 
     @nn.compact
     def __call__(self, target: jax.Array, recon: jax.Array) -> jax.Array:
-        toh, tc, tw, tnorms, _, _ = self._encode(target)
-        foh, fc, fw, fnorms, _, _ = self._encode(recon)
+        kw = dict(kernel_init=uniform_init(0.02), bias_init=nn.initializers.zeros)
+        layers = (
+            nn.Dense(self.embedding_channels, name="patch_embed", **kw),
+            nn.Dense(self.embedding_channels, name="proj", **kw),
+            nn.Dense(self.n_centroids, name="up", **kw),
+        )
+        toh, tc, tw, tnorms, _, _ = self._encode(layers, target)
+        foh, fc, fw, fnorms, _, _ = self._encode(layers, recon)
         # class-weighted cross entropy of recon logits vs target codes
         logits = foh.reshape(-1, self.n_centroids)
         labels = tc.reshape(-1)

@@ -1,0 +1,104 @@
+"""Tests for the final inventory fill: info losses, REDS model, harmonic
+model, key points, sparsity modules, learned pos encodings."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+KEY = jax.random.PRNGKey(0)
+RNG = np.random.default_rng(0)
+
+
+def test_spectral_info_loss():
+    from mptpu.losses import SpectralInfoLoss
+
+    m = SpectralInfoLoss(
+        stft_window_size=256, stft_step_size=64,
+        patch_size=(8, 8), patch_step=(4, 4), n_centroids=32,
+    )
+    a = jnp.asarray(RNG.standard_normal((1, 1, 2048)).astype(np.float32))
+    b = jnp.asarray(RNG.standard_normal((1, 1, 2048)).astype(np.float32))
+    params = m.init(KEY, a, b)
+    same = float(m.apply(params, a, a))
+    diff = float(m.apply(params, a, b))
+    assert np.isfinite(same) and np.isfinite(diff)
+    assert same <= diff + 1e-3  # identical inputs shouldn't be worse
+
+
+def test_patches2():
+    from mptpu.losses import patches2
+
+    spec = jnp.asarray(RNG.standard_normal((2, 32, 16)).astype(np.float32))
+    p, norms, normed = patches2(spec, (8, 8), (4, 4))
+    assert p.shape[0] == 2
+    assert p.shape[-1] == (8 // 2 + 1) * 8
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(normed), axis=-1), 1.0, rtol=1e-3
+    )
+
+
+def test_reds_like_model():
+    from mptpu.gen import RedsLikeModel
+
+    m = RedsLikeModel(n_resonance_octaves=4, n_samples=1024)
+    params_in = {
+        name: jnp.asarray(
+            RNG.standard_normal((1, 2) + shape).astype(np.float32) * 0.1
+        )
+        for name, shape in m.shape_spec.items()
+    }
+    variables = m.init(KEY, params_in, KEY)
+    out = m.apply(variables, params_in, KEY)
+    assert out.shape == (1, 2, 1024)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_harmonic_model():
+    from mptpu.gen import harmonic_model
+
+    prof = jnp.abs(jax.random.normal(KEY, (8, 16))) * 0.1
+    f0 = jax.random.normal(jax.random.PRNGKey(1), (1, 4 * 2 * 16))
+    harm = jax.random.normal(jax.random.PRNGKey(2), (1, 4 * 8 * 16))
+    sig = harmonic_model(
+        f0, harm, prof, n_voices=4, n_harmonics=16, n_frames=16, n_samples=1024
+    )
+    assert sig.shape == (1, 1, 1024)
+    assert np.isfinite(np.asarray(sig)).all()
+
+
+def test_to_key_points():
+    from mptpu.sparse import to_key_points
+
+    x = jnp.asarray(np.abs(RNG.standard_normal((2, 16, 32))).astype(np.float32))
+    pts = to_key_points(x, n_to_keep=5)
+    assert pts.shape == (2, 5, 3)
+    v = np.asarray(pts)
+    assert (v[..., 1] >= 0).all() and (v[..., 1] <= 1).all()
+    assert (v[..., 2] >= 0).all() and (v[..., 2] <= 1).all()
+
+
+def test_elementwise_and_vectorwise_sparsity():
+    from mptpu.sparse import ElementwiseSparsity, VectorwiseSparsity
+
+    x = jnp.asarray(RNG.standard_normal((1, 8, 32)).astype(np.float32))
+    es = ElementwiseSparsity(model_dim=8, high_dim=32, keep=4)
+    p = es.init(KEY, x)
+    out, sparse = es.apply(p, x)
+    assert out.shape == (1, 8, 32)
+    assert int(jnp.count_nonzero(sparse)) == 4
+
+    vs = VectorwiseSparsity(model_dim=8, keep=3, channels_last=False)
+    p = vs.init(KEY, x)
+    latents, indices = vs.apply(p, x)
+    assert latents.shape == (1, 3, 8)
+    assert indices.shape == (1, 3)
+
+
+def test_learned_pos_encodings():
+    from mptpu.nn import LearnedPosEncodings
+
+    lpe = LearnedPosEncodings(n_freqs=4, out_channels=8)
+    x = jax.random.normal(KEY, (2, 12, 8))
+    p = lpe.init(KEY, x)
+    out = lpe.apply(p, x)
+    assert out.shape == x.shape

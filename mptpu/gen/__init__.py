@@ -36,6 +36,11 @@ from .convimpulse import ConvImpulseEventGenerator
 from .overfitresonance import OverfitResonanceModel
 from .waveguide import WaveguideSynth, waveguide_synth_scan
 from .physical import gaussian_window, TransferFunctionSegmentGenerator
+from .event_variants import (
+    AudioModelEventGenerator,
+    WavetableModel,
+    SimpleEventGenerator,
+)
 from .instrument import InstrumentLayer, InstrumentStack
 from .goo import SpringMesh, string_mesh, simulate as goo_simulate, pluck_forces
 from .recurrent import FrameSynth, RecurrentSynth
@@ -89,6 +94,9 @@ __all__ = [
     "WavetableLookup",
     "MultibandResonanceLookup",
     "MultiSSM",
+    "AudioModelEventGenerator",
+    "WavetableModel",
+    "SimpleEventGenerator",
     "InstrumentLayer",
     "InstrumentStack",
     "SpringMesh",

@@ -114,3 +114,44 @@ def test_siam_codec_round_trip():
         np.asarray(dec), np.asarray(recon), rtol=1e-3, atol=1e-5
     )
     assert codec.embed(audio).shape == (1, 16)
+
+
+def test_event_variant_generators():
+    from mptpu.gen import (
+        AudioModelEventGenerator,
+        WavetableModel,
+        SimpleEventGenerator,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    times = jnp.asarray(rng.standard_normal((1, 2, 16)).astype(np.float32) * 0.02)
+
+    m = AudioModelEventGenerator(
+        n_items=8, n_samples=1024, n_frames=16, n_events=2, context_dim=8
+    )
+    params_in = jnp.asarray(rng.standard_normal((1, 2, 8)).astype(np.float32))
+    amp = jnp.ones((1, 2, 1))
+    v = m.init(KEY, params_in, times, amp, KEY)
+    out = m.apply(v, params_in, times, amp, KEY)
+    assert out.shape == (1, 2, 1024)
+
+    w = WavetableModel(
+        n_items=4, n_samples=2048, n_frames=16, n_events=2, expressivity=2,
+        wavetable_samples=2048, lowest_band=512,
+    )
+    p_in = {
+        n: jnp.asarray(rng.standard_normal((1, 2) + s).astype(np.float32) * 0.1)
+        for n, s in w.shape_spec.items()
+    }
+    v = w.init(KEY, p_in, times)
+    out = w.apply(v, p_in, times)
+    assert out.shape == (1, 2, 2048)
+
+    s = SimpleEventGenerator(
+        context_dim=8, n_frames=16, n_samples=1024, n_events=2, channels=16
+    )
+    v = s.init(KEY, params_in, times, KEY)
+    out = s.apply(v, params_in, times, KEY)
+    assert out.shape == (1, 2, 1024)
+    assert np.isfinite(np.asarray(out)).all()

@@ -63,6 +63,10 @@ class SIAMModel(nn.Module):
     transform_step_size: int = 256
     with_activation_norm: bool = False
     fft_resonance: bool = True
+    # optional floor added to the selected event's amplitude so gradients
+    # survive the all-negative-attention (dead ReLU) cold start; 0.0 keeps
+    # exact reference semantics (relu attn can collapse to silence)
+    attn_floor: float = 0.0
 
     @property
     def n_frames(self) -> int:
@@ -136,6 +140,8 @@ class SIAMModel(nn.Module):
         )
         # scheduling[b, 0, indices[b]] = attn[b, 0, indices[b]]
         sel = jnp.take_along_axis(attn[:, 0, :], indices, axis=-1)  # (b, 1)
+        if self.attn_floor:
+            sel = sel + self.attn_floor
         scheduling = jnp.zeros((batch_size, 1, frame_count), attn.dtype)
         scheduling = jax.vmap(
             lambda s, i, v: s.at[0, i].set(v)

@@ -46,6 +46,7 @@ def train_and_monitor(
     tiny: bool = False,
     audio_path: str | None = None,
     data_parallel: bool = False,
+    attn_floor: float = 0.0,
 ):
     if tiny:
         n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
@@ -66,6 +67,7 @@ def train_and_monitor(
         transform_window_size=window,
         transform_step_size=step_sz,
         fft_resonance=True,
+        attn_floor=attn_floor,
     )
 
     stream = AudioIterator(
@@ -185,6 +187,8 @@ if __name__ == "__main__":
     parser.add_argument("--audio-path", type=str, default=None)
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard the batch over all devices")
+    parser.add_argument("--attn-floor", type=float, default=0.0,
+                        help="amplitude floor keeping event gradients alive")
     args = parser.parse_args()
     train_and_monitor(
         batch_size=args.batch_size,
@@ -196,4 +200,5 @@ if __name__ == "__main__":
         tiny=args.tiny,
         audio_path=args.audio_path,
         data_parallel=args.data_parallel,
+        attn_floor=args.attn_floor,
     )

@@ -272,6 +272,55 @@ class MultibandDictionaryLearning:
             jnp.concatenate(amps),
         )
 
+    def hierarchical_event_tuples(
+        self, global_indices, unit_times, amplitudes, events_per_band: int
+    ) -> Dict[int, SparseCodeResult]:
+        """Inverse of ``flattened_event_tuples``: route each global event
+        back to its band as a local SparseCodeResult (reference
+        ``multibanddict.py:424-443``). ``events_per_band`` is the per-band
+        event count of the original encoding (steps * batch)."""
+        out: Dict[int, SparseCodeResult] = {}
+        offset = 0
+        start = 0
+        for size, band in self.bands.items():
+            stop = start + events_per_band
+            out[size] = band.to_local(
+                global_indices[start:stop],
+                unit_times[start:stop],
+                amplitudes[start:stop],
+                offset,
+            )
+            offset += band.n_atoms
+            start = stop
+        return out
+
+    def decode_global(
+        self,
+        global_indices,
+        unit_times,
+        amplitudes,
+        batch_size: int,
+        n_steps: int,
+    ) -> jax.Array:
+        """Decode straight from the global event-tuple representation
+        (the codec's wire format)."""
+        per_band = n_steps * batch_size
+        local = self.hierarchical_event_tuples(
+            global_indices, unit_times, amplitudes, per_band
+        )
+        output = {}
+        for size, ev in local.items():
+            output[size] = self.bands[size].decode(
+                SparseCodeResult(
+                    ev.atom_indices.reshape(n_steps, batch_size),
+                    ev.positions.reshape(n_steps, batch_size),
+                    ev.values.reshape(n_steps, batch_size),
+                    None,
+                ),
+                batch_size,
+            )
+        return _jit_recompose(output, self.n_samples)
+
     def decode(
         self, encoding: Dict[int, SparseCodeResult], batch_size: int
     ) -> jax.Array:

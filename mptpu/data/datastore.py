@@ -111,14 +111,21 @@ def batch_stream(
         batch = np.zeros((batch_size, n_samples), dtype=np.float32)
         indices = []
         for i in range(batch_size):
-            p = paths[rng.integers(len(paths))]
-            data = audio(p)
-            diff = int(np.clip((n_samples * 2) - data.shape[-1], 0, np.inf))
-            if diff > 0:
-                data = np.concatenate([data, np.zeros(diff, np.float32)])
-            positions = (data.shape[0] - n_samples) // step_size
-            start = int(rng.integers(0, positions)) * step_size
-            end = start + n_samples
+            # short files are padded to 2*n_samples, so a random window can
+            # land entirely in the zero padding (or in recorded silence);
+            # resample a few times for a segment with actual energy — a
+            # silent target makes every energy-matching loss degenerate
+            for _attempt in range(8):
+                p = paths[rng.integers(len(paths))]
+                data = audio(p)
+                diff = int(np.clip((n_samples * 2) - data.shape[-1], 0, np.inf))
+                if diff > 0:
+                    data = np.concatenate([data, np.zeros(diff, np.float32)])
+                positions = (data.shape[0] - n_samples) // step_size
+                start = int(rng.integers(0, positions)) * step_size
+                end = start + n_samples
+                if float(np.abs(data[start:end]).max()) > 1e-4:
+                    break
             indices.append((start, end))
             batch[i] = data[start:end]
 

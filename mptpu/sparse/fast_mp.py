@@ -34,6 +34,7 @@ from jax import lax
 from ..ops.correlation import mp_correlate
 from ..ops.norms import unit_norm
 from .matching_pursuit import SparseCodeResult, _normalize_dict
+from .pallas_mp import PALLAS_AVAILABLE, pallas_boundary_update
 
 
 def dictionary_gram(d: jax.Array) -> jax.Array:
@@ -55,13 +56,16 @@ def dictionary_gram(d: jax.Array) -> jax.Array:
     )  # (n_atoms signals, n_atoms filters, 2A-1)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "block", "block_argmax"))
+@partial(
+    jax.jit, static_argnames=("n_steps", "block", "block_argmax", "use_pallas")
+)
 def sparse_code_fast(
     signal: jax.Array,
     d: jax.Array,
     n_steps: int = 100,
     block: int = 512,
     block_argmax: bool = False,
+    use_pallas: bool = False,
 ) -> SparseCodeResult:
     """Drop-in fast path for ``sparse_code`` (1-channel dictionaries).
 
@@ -118,6 +122,18 @@ def sparse_code_fast(
     tail_hi = (pad + n_samples - 1) // block
     tail_nblk = tail_hi - tail_lo + 1
 
+    # the fused Pallas tail kernel needs the tail to start on an
+    # atom_size-aligned offset within the padded map (true for the usual
+    # power-of-two configs); fall back to the XLA ops otherwise
+    tail_start = pad + n_samples - atom_size
+    use_pallas = (
+        use_pallas
+        and PALLAS_AVAILABLE
+        and tail_start % atom_size == 0
+        and atom_size % block == 0
+        and n_atoms % 8 == 0
+    )
+
     def step(carry, _):
         residual, fm, bm = carry
 
@@ -165,15 +181,43 @@ def sparse_code_fast(
 
         fm = jax.vmap(upd)(fm, atom_index, ustart, value)
 
-        # 4) exact boundary recompute for the last atom_size positions
-        windows = residual[:, tail_idx]               # (B, A, A)
-        tail_fm = jnp.einsum(
-            "bta,na->bnt", windows, d2,
-            preferred_element_type=jnp.float32,
-        )                                             # (B, n_atoms, A)
-        fm = lax.dynamic_update_slice(
-            fm, tail_fm, (0, 0, pad + n_samples - atom_size)
-        )
+        # 4) exact boundary recompute for the last atom_size positions,
+        #    fused (matmul + map write + block max) on the MXU when the
+        #    Pallas kernel is applicable
+        if use_pallas:
+            windows = residual[:, tail_idx]           # (B, A, A)
+            fm, bm = pallas_boundary_update(
+                fm, bm, windows, d2, tail_start, block
+            )
+        else:
+            # correlation of the residual tail segment with every atom —
+            # a small VALID conv on the MXU; avoids materializing the
+            # (B, A, A) Hankel gather
+            seg = lax.dynamic_slice(
+                residual,
+                (0, n_samples - atom_size),
+                (batch, 2 * atom_size - 1),
+            )
+            tail_fm = lax.conv_general_dilated(
+                seg[:, None, :],
+                d2[:, None, :],
+                window_strides=(1,),
+                padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                preferred_element_type=jnp.float32,
+            )                                         # (B, n_atoms, A)
+            fm = lax.dynamic_update_slice(fm, tail_fm, (0, 0, tail_start))
+            if block_argmax:
+                if tail_start % block == 0 and atom_size % block == 0:
+                    tail_max = tail_fm.reshape(
+                        batch, n_atoms, atom_size // block, block
+                    ).max(-1)
+                else:
+                    # tail straddles block edges: reduce from the map
+                    tail_max = fm[
+                        :, :, tail_lo * block : (tail_hi + 1) * block
+                    ].reshape(batch, n_atoms, tail_nblk, block).max(-1)
+                bm = lax.dynamic_update_slice(bm, tail_max, (0, 0, tail_lo))
 
         if block_argmax:
             # 5) re-reduce only the touched blocks of the max table
@@ -187,11 +231,6 @@ def sparse_code_fast(
                 return lax.dynamic_update_slice(mb, seg, (0, b0))
 
             bm = jax.vmap(fix_blocks)(fm, bm, ublk0)
-            tail_seg = fm[:, :, tail_lo * block : (tail_hi + 1) * block]
-            tail_max = tail_seg.reshape(
-                batch, n_atoms, tail_nblk, block
-            ).max(-1)
-            bm = bm.at[:, :, tail_lo : tail_hi + 1].set(tail_max)
 
         return (residual, fm, bm), (atom_index, position, value)
 

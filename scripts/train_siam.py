@@ -47,6 +47,7 @@ def train_and_monitor(
     audio_path: str | None = None,
     data_parallel: bool = False,
     attn_floor: float = 0.0,
+    log_every: int = 10,
 ):
     if tiny:
         n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
@@ -86,7 +87,12 @@ def train_and_monitor(
     example = jnp.zeros((batch_size, 1, n_samples))
     params = model.init(key, example, key)
 
-    opt = optimizer(lr=1e-4)
+    # the reference's SIAM run uses torch Adam DEFAULT betas
+    # (iterativedecomposition.py:487) — not the (0, 0.9) GAN-style betas
+    # of its other experiments; momentum matters here, without it the
+    # first steps crush all event amplitudes to exact silence (a dead
+    # local optimum of the energy-removal loss)
+    opt = optimizer(lr=1e-4, b1=0.9, b2=0.999)
     opt_state = opt.init(params)
     ckpt = CheckpointManager("trained_weights/siam", every=100)
     reservoir = Reservoir(256, context_dim)
@@ -146,19 +152,20 @@ def train_and_monitor(
         params, opt_state, loss, channels, vecs = train_step(
             params, opt_state, item, k
         )
-        loss = float(loss)
-        losses.append(loss)
-        elapsed = time.time() - t0
-        print(f"iter {i} loss {loss:.4f} ({elapsed:.2f}s)")
+        # logging forces device->host transfers; keep it periodic so the
+        # accelerator stays busy
+        if i % log_every == 0:
+            loss = float(loss)
+            losses.append(loss)
+            elapsed = time.time() - t0
+            print(f"iter {i} loss {loss:.4f} ({elapsed:.2f}s)", flush=True)
+            reservoir.update(np.asarray(vecs))
+            collection.log("orig", np.asarray(item[0, 0]), kind="audio")
+            recon = np.asarray(jnp.sum(channels, axis=1)[0])
+            collection.log("recon", recon, kind="audio")
+            collection.log("loss", np.asarray(losses[-200:]))
 
-        reservoir.update(np.asarray(vecs))
-
-        collection.log("orig", np.asarray(item[0, 0]), kind="audio")
-        recon = np.asarray(jnp.sum(channels, axis=1)[0])
-        collection.log("recon", recon, kind="audio")
-        collection.log("loss", np.asarray(losses[-200:]))
-
-        if i % 10 == 0 and i > 0:
+        if i % 100 == 0 and i > 0:
             # self-supervised preview from reservoir-sampled vectors
             rvecs = jnp.asarray(reservoir.sample(1, n_events))
             rand_audio, _, _ = random_seq(params, rvecs, k)
@@ -189,6 +196,7 @@ if __name__ == "__main__":
                         help="shard the batch over all devices")
     parser.add_argument("--attn-floor", type=float, default=0.0,
                         help="amplitude floor keeping event gradients alive")
+    parser.add_argument("--log-every", type=int, default=10)
     args = parser.parse_args()
     train_and_monitor(
         batch_size=args.batch_size,
@@ -201,4 +209,5 @@ if __name__ == "__main__":
         audio_path=args.audio_path,
         data_parallel=args.data_parallel,
         attn_floor=args.attn_floor,
+        log_every=args.log_every,
     )

@@ -46,6 +46,34 @@ def test_fast_matches_naive():
     )
 
 
+def test_fast_pallas_and_block_argmax_parity():
+    """The fused Pallas tail kernel (interpret mode on CPU) and the
+    hierarchical block-argmax must reproduce the naive engine exactly.
+    Shapes chosen so the Pallas alignment gate passes (atom_size and
+    tail offset multiples of the block)."""
+    sig = jnp.asarray(RNG.standard_normal((2, 1, 1024)).astype(np.float32))
+    d = jnp.asarray(RNG.standard_normal((16, 128)).astype(np.float32))
+    a = sparse_code(sig, d, n_steps=10)
+    b = sparse_code_fast(
+        sig, d, n_steps=10, block=128, block_argmax=True, use_pallas=True
+    )
+    from mptpu.sparse.fast_mp import PALLAS_AVAILABLE
+
+    assert PALLAS_AVAILABLE
+    np.testing.assert_array_equal(
+        np.asarray(a.atom_indices), np.asarray(b.atom_indices)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.positions), np.asarray(b.positions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.values), np.asarray(b.values), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.residual), np.asarray(b.residual), rtol=1e-3, atol=1e-5
+    )
+
+
 def test_fast_boundary_clipping_parity():
     """Events whose atoms clip at the signal end must match the naive
     engine exactly (the gram update alone would be wrong there)."""

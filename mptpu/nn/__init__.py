@@ -24,7 +24,14 @@ from .mixer import MixerStack
 from .dilated import DilatedStack
 from .unet import UNet, DownsamplingDiscriminator
 from .upsample import ConvUpsample
-from .transformer import Transformer, ForwardBlock, fourier_mix, MetaFormer, MetaFormerBlock
+from .transformer import (
+    Transformer,
+    ForwardBlock,
+    FourierMixer,
+    fourier_mix,
+    MetaFormer,
+    MetaFormerBlock,
+)
 
 __all__ = [
     "uniform_init",
@@ -49,6 +56,7 @@ __all__ = [
     "Transformer",
     "ForwardBlock",
     "fourier_mix",
+    "FourierMixer",
     "MetaFormer",
     "MetaFormerBlock",
 ]

@@ -92,3 +92,11 @@ class MetaFormer(nn.Module):
         for _ in range(self.n_layers):
             x = MetaFormerBlock(self.channels)(x)
         return x
+
+
+class FourierMixer(nn.Module):
+    """Module form of ``fourier_mix`` (reference ``transformer.py:25-33``)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return fourier_mix(x)

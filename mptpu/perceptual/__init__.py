@@ -5,7 +5,12 @@ phase-invariant features (PIF), and the cochlea/periodicity feature."""
 from .gammatone import gammatone_filter_bank
 from .aim import rectified_filter_bank, auditory_image_model, auditory_image
 from .pif import fft_based_pif
-from .feature import cochlea_filter_bank, cochlea_model, periodicity_feature
+from .feature import (
+    CochleaModel,
+    cochlea_filter_bank,
+    cochlea_model,
+    periodicity_feature,
+)
 from .filterbank import (
     morlet_filter_bank,
     mel_scale_hz,
@@ -24,6 +29,7 @@ __all__ = [
     "cochlea_filter_bank",
     "cochlea_model",
     "periodicity_feature",
+    "CochleaModel",
     "morlet_filter_bank",
     "mel_scale_hz",
     "filter_bank_convolve",

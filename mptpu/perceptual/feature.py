@@ -81,3 +81,28 @@ def periodicity_feature(
     spec = _rfft(framed, axis=-1, norm="ortho")
     norm = jnp.sqrt(jnp.sum(jnp.abs(spec) ** 2, axis=-1, keepdims=True))
     return spec / (norm + 1e-8)
+
+
+class CochleaModel:
+    """Object form of ``cochlea_model`` holding a precomputed filter bank
+    (reference ``perceptual/feature.py:12-60``)."""
+
+    def __init__(
+        self,
+        samplerate: int = 22050,
+        n_filters: int = 128,
+        kernel_size: int = 512,
+        start_hz: float = 20.0,
+        stop_hz: float | None = None,
+        phase_locking_cutoff_hz: int = 5000,
+    ):
+        self.samplerate = samplerate
+        self.phase_locking_cutoff_hz = phase_locking_cutoff_hz
+        self.filters = cochlea_filter_bank(
+            n_filters, kernel_size, samplerate, start_hz, stop_hz
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return cochlea_model(
+            x, self.filters, self.samplerate, self.phase_locking_cutoff_hz
+        )

@@ -19,6 +19,9 @@ from .matching_pursuit import (
     dictionary_learning_step,
     sparse_feature_map,
     sparse_coding_loss,
+    flatten_atom_dict,
+    SparseCodingLoss,
+    AtomPlacement,
     scatter_events,
     reconstruct_from_events,
     SparseCodeResult,
@@ -39,6 +42,9 @@ __all__ = [
     "dictionary_learning_step",
     "sparse_feature_map",
     "sparse_coding_loss",
+    "flatten_atom_dict",
+    "SparseCodingLoss",
+    "AtomPlacement",
     "scatter_events",
     "reconstruct_from_events",
     "SparseCodeResult",

@@ -220,7 +220,10 @@ def sparse_code_fast(
                 bm = lax.dynamic_update_slice(bm, tail_max, (0, 0, tail_lo))
 
         if block_argmax:
-            # 5) re-reduce only the touched blocks of the max table
+            # 5) re-reduce only the touched blocks of the max table.
+            # (Fusing this into the gram update — computing maxima from
+            # the in-register segment — measured ~8% SLOWER end-to-end:
+            # the shifted-gram zero-padding costs more than the re-read.)
             ublk0 = jnp.minimum(ustart // block, n_blocks - upd_blocks)
 
             def fix_blocks(fb, mb, b0):

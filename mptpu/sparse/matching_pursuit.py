@@ -283,3 +283,90 @@ def sparse_coding_loss(
     t = jnp.clip(t_map / mx, 0.0, 1.0)
     bce = -(t * jnp.log(r) + (1.0 - t) * jnp.log(1.0 - r))
     return jnp.mean(bce)
+
+
+def flatten_atom_dict(atom_dict) -> list:
+    """Flatten a {key: [events...]} mapping into one event list (reference
+    ``matchingpursuit.py:61-65``)."""
+    all_instances = []
+    for v in atom_dict.values():
+        all_instances.extend(v)
+    return all_instances
+
+
+class SparseCodingLoss:
+    """Stateful sparse-coding BCE loss: learns its own dictionary from the
+    targets for the first ``learning_steps`` calls, then scores
+    reconstructions against targets in greedy-feature-map space
+    (reference ``matchingpursuit.py:422-462``).
+
+    The dictionary lives as a host-side attribute (the reference keeps a
+    non-parameter buffer); the learning step and the loss are jitted."""
+
+    def __init__(
+        self,
+        n_atoms: int,
+        atom_size: int,
+        n_steps: int,
+        approx=None,
+        learning_steps: int = 16,
+        seed: int = 0,
+    ):
+        self.approx = approx
+        self.n_steps = n_steps
+        self.learning_steps = learning_steps
+        self._steps_executed = 0
+        key = jax.random.PRNGKey(seed)
+        d = jax.random.uniform(
+            key, (n_atoms, atom_size), minval=-1.0, maxval=1.0
+        )
+        self.d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+
+    def _learning_step(self, signal: jax.Array) -> None:
+        self.d = jax.jit(
+            dictionary_learning_step, static_argnames=("n_steps", "approx")
+        )(signal, self.d, n_steps=self.n_steps, approx=self.approx)
+        self._steps_executed += 1
+
+    def loss(self, recon: jax.Array, target: jax.Array) -> jax.Array:
+        if self._steps_executed < self.learning_steps:
+            self._learning_step(lax.stop_gradient(target))
+        return sparse_coding_loss(
+            recon, target, self.d, n_steps=self.n_steps, approx=self.approx
+        )
+
+    __call__ = loss
+
+
+class AtomPlacement:
+    """Scatter ``n_events`` rendered atoms at frame indices * step_size
+    (reference ``modules/sparse.py:274-296``, a TorchScript double loop —
+    here one vmapped ``dynamic_update_slice`` add into a 2x buffer)."""
+
+    def __init__(self, n_samples: int, n_events: int, step_size: int):
+        self.n_samples = n_samples
+        self.n_events = n_events
+        self.step_size = step_size
+
+    def render(self, x: jax.Array, indices: jax.Array) -> jax.Array:
+        n_samples, n_events = self.n_samples, self.n_events
+        x = x.reshape(-1, n_events, n_samples)
+        times = indices.reshape(-1, n_events) * self.step_size
+
+        def place_one(out, ev, t):
+            seg = lax.dynamic_slice(out, (t,), (n_samples,))
+            return lax.dynamic_update_slice(out, seg + ev, (t,))
+
+        def place_all(evs, ts):
+            out = jnp.zeros((n_samples * 2,), x.dtype)
+            out, _ = lax.scan(
+                lambda o, et: (place_one(o, et[0], et[1].astype(jnp.int32)), None),
+                out,
+                (evs, ts),
+            )
+            return out
+
+        out = jax.vmap(place_all)(x, times)
+        return out[:, None, :n_samples]
+
+    __call__ = render

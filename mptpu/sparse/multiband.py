@@ -31,6 +31,7 @@ from ..ops.decompose import (
     fft_resample,
 )
 from ..ops.norms import unit_norm
+from .fast_mp import sparse_code_fast
 from .matching_pursuit import (
     SparseCodeResult,
     dictionary_learning_step,
@@ -45,6 +46,12 @@ from .matching_pursuit import (
 
 @partial(jax.jit, static_argnames=("n_steps", "approx"))
 def _jit_sparse_code(signal, d, n_steps, approx):
+    if approx is None:
+        # exact single-channel coding: the incremental-gram engine
+        # produces identical event sequences ~25x faster
+        return sparse_code_fast(
+            signal, d, n_steps=n_steps, block_argmax=True
+        )
     return sparse_code(signal, d, n_steps=n_steps, approx=approx)
 
 

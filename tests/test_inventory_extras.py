@@ -102,3 +102,77 @@ def test_learned_pos_encodings():
     p = lpe.init(KEY, x)
     out = lpe.apply(p, x)
     assert out.shape == x.shape
+
+
+def test_atom_placement():
+    from mptpu.sparse import AtomPlacement
+
+    n_samples, n_events, step = 256, 3, 32
+    ap = AtomPlacement(n_samples, n_events, step)
+    x = np.zeros((1, n_events, n_samples), np.float32)
+    x[0, 0, :4] = 1.0
+    x[0, 1, :4] = 2.0
+    x[0, 2, :4] = 3.0
+    idx = jnp.asarray([[0, 2, 7]], dtype=jnp.int32)
+    out = np.asarray(ap.render(jnp.asarray(x), idx))
+    assert out.shape == (1, 1, n_samples)
+    assert np.allclose(out[0, 0, 0:4], 1.0)
+    assert np.allclose(out[0, 0, 64:68], 2.0)
+    assert np.allclose(out[0, 0, 224:228], 3.0)
+    # events past the end are clipped into the 2x buffer, not wrapped
+    assert np.abs(out).sum() == 4 * (1 + 2 + 3)
+
+
+def test_sparse_coding_loss_stateful():
+    from mptpu.sparse import SparseCodingLoss
+
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.standard_normal((1, 1, 512)).astype(np.float32))
+    recon = jnp.asarray(rng.standard_normal((1, 1, 512)).astype(np.float32))
+    scl = SparseCodingLoss(
+        n_atoms=8, atom_size=32, n_steps=4, learning_steps=2
+    )
+    l1 = scl.loss(recon, target)
+    assert scl._steps_executed == 1
+    l2 = scl.loss(recon, target)
+    assert scl._steps_executed == 2
+    l3 = scl.loss(recon, target)
+    assert scl._steps_executed == 2  # learning stopped
+    assert np.isfinite(float(l1) + float(l2) + float(l3))
+    # identical inputs give zero-ish loss floor sanity: recon==target
+    same = scl.loss(target, target)
+    assert float(same) < float(l3)
+
+
+def test_flatten_atom_dict():
+    from mptpu.sparse import flatten_atom_dict
+
+    d = {0: [1, 2], 3: [4], 7: []}
+    assert flatten_atom_dict(d) == [1, 2, 4]
+
+
+def test_cochlea_model_class():
+    from mptpu.perceptual import CochleaModel
+
+    m = CochleaModel(n_filters=16, kernel_size=128)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 1, 1024)).astype(np.float32)
+    )
+    out = np.asarray(m(x))
+    assert out.shape == (2, 16, 1024)
+    assert (out >= 0).all()          # rectified + compressed
+    assert np.isfinite(out).all()
+
+
+def test_fourier_mixer_module():
+    from mptpu.nn import FourierMixer, fourier_mix
+
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 8, 16)).astype(np.float32)
+    )
+    m = FourierMixer()
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(fourier_mix(x)), rtol=1e-5
+    )

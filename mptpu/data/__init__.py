@@ -9,6 +9,7 @@ from .datastore import (
     iter_audio_segments,
 )
 from .audioiter import (
+    audio_stream,
     AudioIterator,
     get_one_audio_segment,
     get_one_audio_batch,
@@ -18,6 +19,7 @@ from .kv import KVCollection, cache
 from .native import NativeAudioLoader, native_available, build_native
 
 __all__ = [
+    "audio_stream",
     "iter_files",
     "audio",
     "batch_stream",

@@ -26,7 +26,13 @@ from .transfer import (
     ResonanceBank,
 )
 from .reverb import NeuralReverb, ReverbGenerator
-from .ddsp import noise_bank2, band_filtered_noise, oscillator_bank, harmonic_model
+from .ddsp import (
+    noise_bank2,
+    band_filtered_noise,
+    oscillator_bank,
+    harmonic_model,
+    HarmonicModel,
+)
 from .splat import SplattingEventGenerator, exponential_decay
 from .ssm import state_space_model, StateSpaceModelEventGenerator
 from .impulse import GenerateImpulse, GenerateMix
@@ -46,6 +52,9 @@ from .goo import SpringMesh, string_mesh, simulate as goo_simulate, pluck_forces
 from .recurrent import FrameSynth, RecurrentSynth
 from .ssm_complex import ComplexSSM, CompressionModel, param_count
 from .audiomodel import OscillatorBank as OscillatorBankModule, AudioModel
+from .audiomodel import OscillatorBank
+from .impulse import NoiseModel
+from ..models.ssm_overfit import OverfitControlPlane
 from .lookups import (
     SampleResonanceLookup,
     FFTResonanceLookup,
@@ -109,5 +118,9 @@ __all__ = [
     "CompressionModel",
     "param_count",
     "OscillatorBankModule",
+    "OscillatorBank",
+    "NoiseModel",
+    "HarmonicModel",
+    "OverfitControlPlane",
     "AudioModel",
 ]

@@ -157,3 +157,45 @@ def harmonic_model(
     signal = full_amp * jnp.sin(jnp.cumsum(full_freq, axis=-1) * jnp.pi)
     signal = signal.reshape(batch, n_voices, n_harmonics + 1, n_samples)
     return jnp.sum(signal, axis=(1, 2)).reshape(batch, 1, n_samples)
+
+
+class HarmonicModel:
+    """Object form of ``harmonic_model`` holding its learned profile table
+    (reference ``modules/ddsp.py:432-516``). ``init_profiles(key)`` gives
+    the (n_profiles, n_harmonics) parameter, trained by the caller."""
+
+    def __init__(
+        self,
+        n_voices: int = 8,
+        n_profiles: int = 16,
+        n_harmonics: int = 64,
+        freq_hz_range=(40, 4000),
+        samplerate: int = 22050,
+        n_frames: int = 64,
+        n_samples: int = 2**14,
+    ):
+        self.n_voices = n_voices
+        self.n_profiles = n_profiles
+        self.n_harmonics = n_harmonics
+        self.freq_hz_range = freq_hz_range
+        self.samplerate = samplerate
+        self.n_frames = n_frames
+        self.n_samples = n_samples
+
+    def init_profiles(self, key: jax.Array) -> jax.Array:
+        return jax.random.uniform(
+            key, (self.n_profiles, self.n_harmonics), minval=0.0, maxval=0.1
+        )
+
+    def __call__(self, profiles, f0, harmonics) -> jax.Array:
+        return harmonic_model(
+            f0,
+            harmonics,
+            profiles,
+            self.n_voices,
+            self.n_harmonics,
+            self.n_frames,
+            self.n_samples,
+            self.samplerate,
+            self.freq_hz_range,
+        )

@@ -12,13 +12,20 @@ from .multiband_spec import (
     flattened_multiband_spectrogram,
     stft_transform,
 )
-from .correlation import correlation_loss, noise_loss, multiband_noise_loss, covariance
+from .correlation import (
+    CorrelationLoss,
+    correlation_loss,
+    noise_loss,
+    multiband_noise_loss,
+    covariance,
+)
 from .gan import (
     least_squares_generator_loss,
     least_squares_disc_loss,
     squared_gan_loss,
 )
 from .serial import serial_loss, serial_matching_pursuit
+from ..train.gan import make_gan_steps, gan_cycle
 from .infoloss import (
     SpectralInfoLoss,
     MultiWindowSpectralInfoLoss,
@@ -36,6 +43,9 @@ __all__ = [
     "noise_loss",
     "multiband_noise_loss",
     "covariance",
+    "CorrelationLoss",
+    "make_gan_steps",
+    "gan_cycle",
     "least_squares_generator_loss",
     "least_squares_disc_loss",
     "squared_gan_loss",

@@ -85,3 +85,23 @@ def correlation_loss(
     n_sub = noise_spec[:, indices]
     cov_loss = jnp.sum(jnp.abs(covariance(n_sub) - covariance(res_sub)))
     return norm_loss + cov_loss
+
+
+class CorrelationLoss:
+    """Object form bundling the three losses (reference
+    ``infoloss.py:27-105``). Randomness is explicit: every method takes a
+    PRNG key first."""
+
+    def __init__(self, n_elements: int = 256):
+        self.n_elements = n_elements
+
+    def noise_loss(self, key, target, recon, window_size=2048, step_size=256):
+        return noise_loss(key, target, recon, window_size, step_size)
+
+    def multiband_noise_loss(self, key, target, recon, window_size, step):
+        return multiband_noise_loss(key, target, recon, window_size, step)
+
+    def forward(self, key, target, recon):
+        return correlation_loss(key, target, recon, self.n_elements)
+
+    __call__ = forward

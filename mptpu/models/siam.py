@@ -38,13 +38,19 @@ from ..gen.overfitresonance import OverfitResonanceModel
 
 
 def siam_transform(
-    x: jax.Array, window_size: int = 2048, step_size: int = 256
+    x: jax.Array,
+    window_size: int = 2048,
+    step_size: int = 256,
+    mag_epsilon: float = 0.0,
 ) -> jax.Array:
     """Audio -> (batch, n_coeffs, frames) magnitude STFT (the reference's
-    module-level ``transform``, ``iterativedecomposition.py:75-82``)."""
+    module-level ``transform``, ``iterativedecomposition.py:75-82``).
+
+    ``mag_epsilon`` > 0 smooths |z| so the training gradient survives a
+    silence-collapsed generator (see ops/stft.py)."""
     batch = x.shape[0]
     n_coeffs = window_size // 2 + 1
-    spec = stft(x, window_size, step_size, pad=True)
+    spec = stft(x, window_size, step_size, pad=True, mag_epsilon=mag_epsilon)
     spec = spec.reshape(batch, -1, n_coeffs)
     return jnp.transpose(spec, (0, 2, 1))
 

@@ -31,6 +31,7 @@ def stft(
     log_amplitude: bool = False,
     log_epsilon: float = 1e-4,
     return_complex: bool = False,
+    mag_epsilon: float = 0.0,
 ) -> jax.Array:
     """(batch, channels, time) -> (batch, channels, frames, coeffs).
 
@@ -48,7 +49,13 @@ def stft(
     if return_complex:
         out = jnp.stack([spec.real, spec.imag], axis=-1)
         return out[..., :frames, :, :]
-    mag = jnp.abs(spec)
+    if mag_epsilon:
+        # |z| has a dead (0/0) gradient at exactly zero — fatal for
+        # energy-matching losses when a generator collapses to silence;
+        # the smoothed magnitude keeps a pull-back-up gradient alive
+        mag = jnp.sqrt(spec.real**2 + spec.imag**2 + mag_epsilon**2)
+    else:
+        mag = jnp.abs(spec)
     if log_amplitude:
         mag = jnp.log(mag + log_epsilon)
     return mag[..., :frames, :]

@@ -25,8 +25,27 @@ def hard_choice(
     if selection_type == "softmax":
         return jax.nn.softmax(selections, axis=-1)
     if selection_type == "relu":
+        if RELU_SELECTION_LEAK:
+            # opt-in training aid (see set_selection_leak): relu-selected
+            # mixtures go *exactly* silent when every logit is negative,
+            # killing all gradients — the overfit-training death mode of
+            # the reference's decoder stack; a small leak keeps them alive
+            return jax.nn.leaky_relu(selections, RELU_SELECTION_LEAK)
         return jax.nn.relu(selections)
     raise ValueError(f"{selection_type} is an unknown selection type")
+
+
+# Trace-time knob for the 'relu' selection type. 0.0 (default) is exact
+# reference parity. Trainers may set a small slope (e.g. 0.01) BEFORE
+# building/jitting the model; jitted programs capture the value at trace
+# time.
+RELU_SELECTION_LEAK: float = 0.0
+
+
+def set_selection_leak(leak: float) -> None:
+    """Set the leaky-relu slope used by 'relu' selections (0 = parity)."""
+    global RELU_SELECTION_LEAK
+    RELU_SELECTION_LEAK = float(leak)
 
 
 def select_items(

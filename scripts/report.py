@@ -68,6 +68,7 @@ def make_report(
     tiny: bool = False,
     streaming: bool = False,
     audio_path: str | None = None,
+    seed: int | None = None,
 ):
     if tiny:
         model = SIAMModel(
@@ -82,7 +83,7 @@ def make_report(
     key = jax.random.PRNGKey(0)
     samplerate = 22050
     segment = get_one_audio_segment(
-        model.n_samples, samplerate, audio_path=audio_path
+        model.n_samples, samplerate, audio_path=audio_path, seed=seed
     ).reshape(1, 1, model.n_samples)
 
     params = None
@@ -115,7 +116,8 @@ def make_report(
 
     if streaming:
         long_audio = get_one_audio_segment(
-            model.n_samples * 2, samplerate, audio_path=audio_path
+            model.n_samples * 2, samplerate, audio_path=audio_path,
+            seed=None if seed is None else seed + 1,
         ).reshape(1, 1, -1)
         streamed = streaming_encode(model, params, long_audio, key)
         components.append(
@@ -149,8 +151,12 @@ if __name__ == "__main__":
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument("--streaming", action="store_true")
     parser.add_argument("--audio-path", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="segment seed; match the trainer's --seed to report\n"
+                             "on the exact audio an --overfit run was fit to")
     args = parser.parse_args()
     make_report(
         args.checkpoint, args.out, tiny=args.tiny,
         streaming=args.streaming, audio_path=args.audio_path,
+        seed=args.seed,
     )

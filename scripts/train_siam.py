@@ -48,7 +48,14 @@ def train_and_monitor(
     data_parallel: bool = False,
     attn_floor: float = 0.0,
     log_every: int = 10,
+    seed: int | None = None,
+    selection_leak: float = 0.0,
 ):
+    if selection_leak:
+        # must happen before the model is built/jitted (trace-time knob)
+        from mptpu.sparse.quantize import set_selection_leak
+        set_selection_leak(selection_leak)
+
     if tiny:
         n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
         window, step_sz = 512, 256
@@ -78,6 +85,7 @@ def train_and_monitor(
         normalize=True,
         overfit=overfit,
         audio_path=audio_path,
+        seed=seed,
     )
 
     collection = Collection(os.path.join("trained_weights", "siam_dashboard"))
@@ -92,6 +100,10 @@ def train_and_monitor(
     # of its other experiments; momentum matters here, without it the
     # first steps crush all event amplitudes to exact silence (a dead
     # local optimum of the energy-removal loss)
+    # NOTE: LR warmup was tried here and made things WORSE — many small
+    # early steps walk the whole decoder into exact silence (dead relu
+    # selections) before useful-event gradients can compete. Full-rate
+    # Adam with momentum escapes; --selection-leak is the safety net.
     opt = optimizer(lr=1e-4, b1=0.9, b2=0.999)
     opt_state = opt.init(params)
     ckpt = CheckpointManager("trained_weights/siam", every=100)
@@ -112,9 +124,11 @@ def train_and_monitor(
 
     def loss_fn(params, target, key):
         channels, vecs, schedules, _ = iterative(params, target, key)
+        # smoothed magnitude: a silence-collapsed generator still gets a
+        # restoring gradient (|z| is 0/0-dead at exactly zero)
         loss = iterative_loss(
             target, channels,
-            lambda x: siam_transform(x, window, step_sz),
+            lambda x: siam_transform(x, window, step_sz, mag_epsilon=1e-6),
         )
         return loss, (channels, vecs)
 
@@ -197,6 +211,12 @@ if __name__ == "__main__":
     parser.add_argument("--attn-floor", type=float, default=0.0,
                         help="amplitude floor keeping event gradients alive")
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--selection-leak", type=float, default=0.0,
+                        help="leaky-relu slope for relu item selections; keeps\n"
+                             "gradients alive if every selection goes negative")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="data seed; with --overfit pins the segment so a\n"
+                             "report can be generated on the same audio")
     args = parser.parse_args()
     train_and_monitor(
         batch_size=args.batch_size,
@@ -210,4 +230,6 @@ if __name__ == "__main__":
         data_parallel=args.data_parallel,
         attn_floor=args.attn_floor,
         log_every=args.log_every,
+        seed=args.seed,
+        selection_leak=args.selection_leak,
     )

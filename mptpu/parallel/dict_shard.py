@@ -62,6 +62,12 @@ def sharded_sparse_code(
     d3 = d if d.ndim == 3 else d[:, None, :]
 
     n_dev = mesh.shape[axis]
+    if n_atoms % n_dev != 0:
+        raise ValueError(
+            f"sharded_sparse_code: n_atoms ({n_atoms}) must be divisible "
+            f"by the '{axis}' axis size ({n_dev}); pad the dictionary or "
+            "choose a divisor mesh."
+        )
     shard_atoms = n_atoms // n_dev
 
     def body(signal, d_shard):

@@ -24,7 +24,17 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if axis_sizes is None:
         axis_sizes = (len(devices),)
-    arr = np.asarray(devices).reshape(axis_sizes)
+    n_needed = int(np.prod(axis_sizes))
+    if len(devices) < n_needed:
+        raise ValueError(
+            f"make_mesh: axis_sizes {tuple(axis_sizes)} needs {n_needed} "
+            f"devices but only {len(devices)} are available. On a "
+            "single-chip host, bootstrap a virtual CPU mesh first: set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_needed} "
+            "and jax.config.update('jax_platforms', 'cpu') before any "
+            "device query (see tests/conftest.py)."
+        )
+    arr = np.asarray(devices[:n_needed]).reshape(axis_sizes)
     return Mesh(arr, axis_names)
 
 

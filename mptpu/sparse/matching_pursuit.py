@@ -20,8 +20,9 @@ re-designed for XLA:
 
 The dictionary update preserves the reference's *sequential-over-atoms*
 Gauss-Seidel structure (later atoms see earlier atoms' updates) as a
-``lax.fori_loop``, with each atom's instance set processed as one masked
-scatter/gather over all events.
+``lax.fori_loop`` visiting atoms in first-selection order (the
+reference's dict-insertion order), with each atom's instance set
+processed as one masked scatter/gather over all events.
 """
 
 from __future__ import annotations
@@ -163,7 +164,13 @@ def dictionary_learning_step(
     re-subtract the instances rendered with the new atom (amplitude
     ``|value|``). Later atoms see earlier atoms' updates (Gauss-Seidel),
     exactly like the reference's python loop — here a ``lax.fori_loop``
-    whose body does masked batched scatter/gathers over all events at once.
+    whose body does masked batched scatter/gathers over all events at
+    once. Atoms are visited in first-selection order (the reference
+    iterates its event dict, whose keys are inserted at first selection,
+    ``matchingpursuit.py:391``); unused atoms are no-ops. Energy scattered
+    past the signal end is dropped (the pad region is re-zeroed after each
+    scatter) so gathers past the end read zeros, matching the reference's
+    3x-pad-and-trim semantics.
     """
     if signal.ndim == 2:
         signal = signal[:, None, :]
@@ -192,15 +199,27 @@ def dictionary_learning_step(
         jnp.arange(batch)[None, :, None], window.shape
     )
 
-    def update_one_atom(a, carry):
+    # visit atoms in first-selection order: the reference iterates its
+    # event dict, whose keys are inserted at first selection (step-major,
+    # batch-minor). Unused atoms sort last (ties by index) and are no-ops.
+    S, B = ai.shape
+    sel_rank = jnp.arange(S * B, dtype=jnp.int32).reshape(S, B)
+    first_sel = jnp.full((n_atoms,), S * B, dtype=jnp.int32)
+    first_sel = first_sel.at[ai.reshape(-1)].min(sel_rank.reshape(-1))
+    atom_order = jnp.argsort(first_sel).astype(jnp.int32)
+
+    def update_one_atom(i, carry):
         padded, dd = carry
+        a = atom_order[i]
         mask = (ai == a).astype(padded.dtype)              # (S, B)
         old_atom = dd[a]                                   # (C, A)
 
-        # 1) add instances (rendered with the *coding-time* atom) back
+        # 1) add instances (rendered with the *coding-time* atom) back;
+        # energy past the signal end is dropped (reference trims its 3x pad)
         add_back = (mask * val)[..., None, None] * old_atom  # (S, B, C, A)
         for c in range(channels):
             padded = padded.at[b_idx, c, window].add(add_back[:, :, c, :])
+        padded = padded.at[:, :, n_samples:].set(0.0)
 
         # 2) gather residual segments at instance positions, sum
         gathered = padded[b_idx, :, window]                # (S, B, A, C)
@@ -217,6 +236,7 @@ def dictionary_learning_step(
         re_sub = (mask * jnp.abs(val))[..., None, None] * new_atom
         for c in range(channels):
             padded = padded.at[b_idx, c, window].add(-re_sub[:, :, c, :])
+        padded = padded.at[:, :, n_samples:].set(0.0)
 
         return padded, dd
 

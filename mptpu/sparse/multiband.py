@@ -280,25 +280,32 @@ class MultibandDictionaryLearning:
         )
 
     def hierarchical_event_tuples(
-        self, global_indices, unit_times, amplitudes, events_per_band: int
+        self, global_indices, unit_times, amplitudes
     ) -> Dict[int, SparseCodeResult]:
         """Inverse of ``flattened_event_tuples``: route each global event
-        back to its band as a local SparseCodeResult (reference
-        ``multibanddict.py:424-443``). ``events_per_band`` is the per-band
-        event count of the original encoding (steps * batch)."""
+        back to its band **by its global atom index** (reference
+        ``get_band_from_global_atom_index``, ``multibanddict.py:424-443``)
+        — so reordered, filtered, or model-generated event streams decode
+        correctly, not just the canonical band-major layout.
+
+        Each band receives the *full* event list with out-of-band events
+        masked to amplitude 0 (they scatter nothing at decode time); this
+        keeps every band's shapes static under jit."""
         out: Dict[int, SparseCodeResult] = {}
         offset = 0
-        start = 0
         for size, band in self.bands.items():
-            stop = start + events_per_band
-            out[size] = band.to_local(
-                global_indices[start:stop],
-                unit_times[start:stop],
-                amplitudes[start:stop],
-                offset,
+            in_band = (global_indices >= offset) & (
+                global_indices < offset + band.n_atoms
+            )
+            local_idx = jnp.where(in_band, global_indices - offset, 0)
+            vals = jnp.where(in_band, amplitudes, 0.0)
+            out[size] = SparseCodeResult(
+                atom_indices=local_idx.astype(jnp.int32),
+                positions=band.to_sample_time(unit_times),
+                values=vals,
+                residual=None,
             )
             offset += band.n_atoms
-            start = stop
         return out
 
     def decode_global(
@@ -307,21 +314,35 @@ class MultibandDictionaryLearning:
         unit_times,
         amplitudes,
         batch_size: int,
-        n_steps: int,
+        n_steps: int | None = None,
     ) -> jax.Array:
         """Decode straight from the global event-tuple representation
-        (the codec's wire format)."""
-        per_band = n_steps * batch_size
+        (the codec's wire format). Events are routed per-event by global
+        atom index; the stream need not be in band-major order.
+        ``n_steps`` is accepted for backward compatibility and ignored."""
+        n_events = int(global_indices.shape[0])
+        pad = (-n_events) % batch_size
+        if pad:
+            global_indices = jnp.concatenate(
+                [global_indices, jnp.zeros((pad,), global_indices.dtype)]
+            )
+            unit_times = jnp.concatenate(
+                [unit_times, jnp.zeros((pad,), unit_times.dtype)]
+            )
+            amplitudes = jnp.concatenate(
+                [amplitudes, jnp.zeros((pad,), amplitudes.dtype)]
+            )
+        rows = (n_events + pad) // batch_size
         local = self.hierarchical_event_tuples(
-            global_indices, unit_times, amplitudes, per_band
+            global_indices, unit_times, amplitudes
         )
         output = {}
         for size, ev in local.items():
             output[size] = self.bands[size].decode(
                 SparseCodeResult(
-                    ev.atom_indices.reshape(n_steps, batch_size),
-                    ev.positions.reshape(n_steps, batch_size),
-                    ev.values.reshape(n_steps, batch_size),
+                    ev.atom_indices.reshape(rows, batch_size),
+                    ev.positions.reshape(rows, batch_size),
+                    ev.values.reshape(rows, batch_size),
                     None,
                 ),
                 batch_size,

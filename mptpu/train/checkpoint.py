@@ -4,8 +4,8 @@ remote push hooks.
 Improves on the reference's bare ``torch.save(model.state_dict())``
 (``train/experiment_runner.py:107-113``, ``util/load_trained_weights.py``):
 optimizer state and step counter are included, writes are atomic
-(tmp + rename), and orbax is used when available for async TPU-friendly
-saves.
+(tmp + rename), and ``latest()`` falls back past corrupt files to the
+newest intact checkpoint.
 """
 
 from __future__ import annotations
@@ -65,17 +65,31 @@ class CheckpointManager:
         self._gc()
         return True
 
-    def _gc(self):
-        ckpts = sorted(
-            f for f in os.listdir(self.directory) if f.startswith("ckpt_")
+    def _list(self):
+        """Intact checkpoint files only — a leftover ``.tmp`` from a
+        crashed save must neither count toward ``keep`` nor be returned
+        by ``latest()``."""
+        names = os.listdir(self.directory)
+        for stale in names:
+            if stale.startswith("ckpt_") and stale.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(self.directory, stale))
+                except OSError:
+                    pass
+        return sorted(
+            f
+            for f in names
+            if f.startswith("ckpt_") and f.endswith(".pkl")
         )
-        for old in ckpts[: -self.keep]:
+
+    def _gc(self):
+        for old in self._list()[: -self.keep]:
             os.remove(os.path.join(self.directory, old))
 
     def latest(self) -> Optional[dict]:
-        ckpts = sorted(
-            f for f in os.listdir(self.directory) if f.startswith("ckpt_")
-        )
-        if not ckpts:
-            return None
-        return load_checkpoint(os.path.join(self.directory, ckpts[-1]))
+        """Newest loadable checkpoint, falling back past corrupt files."""
+        for name in reversed(self._list()):
+            payload = load_checkpoint(os.path.join(self.directory, name))
+            if payload is not None:
+                return payload
+        return None

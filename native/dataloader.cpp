@@ -159,7 +159,10 @@ struct Loader {
             // datastore.py:136-139)
             long long total = std::max<long long>(
                 (long long)s.size(), 2LL * n_samples);
-            long long positions = (total - n_samples) / step_size;
+            // clamp: step_size > n_samples on a short file can make this 0,
+            // and uniform_int_distribution(0, -1) is undefined behavior
+            long long positions =
+                std::max(1LL, (total - n_samples) / step_size);
             std::uniform_int_distribution<long long> startd(0, positions - 1);
             long long start = startd(rng) * step_size;
             for (int i = 0; i < n_samples; ++i) {

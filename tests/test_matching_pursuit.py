@@ -162,3 +162,28 @@ class TestMultiband:
         assert gi.shape == ut.shape == amp.shape == (8,)
         assert int(gi.max()) < model.total_atoms
         assert float(ut.max()) <= 1.0 and float(ut.min()) >= 0.0
+
+    def test_decode_global_routes_by_atom_index(self):
+        """Global event streams must decode by atom index, not by position
+        in the stream (ADVICE r1): a permuted wire stream reconstructs the
+        identical signal."""
+        n_samples = 1024
+        specs = [
+            BandSpec(size, n_atoms=8, atom_size=16, signal_samples=n_samples,
+                     is_lowest_band=(size == 512))
+            for size in [512, 1024]
+        ]
+        model = MultibandDictionaryLearning(specs, n_samples)
+        sig = jnp.asarray(RNG.standard_normal((1, 1, n_samples)).astype(np.float32))
+        enc = model.encode(sig, steps=4)
+        gi, ut, amp = model.flattened_event_tuples(enc)
+
+        canonical = model.decode_global(gi, ut, amp, batch_size=1)
+        perm = np.random.default_rng(5).permutation(gi.shape[0])
+        shuffled = model.decode_global(gi[perm], ut[perm], amp[perm], batch_size=1)
+        np.testing.assert_allclose(
+            np.asarray(shuffled), np.asarray(canonical), rtol=1e-4, atol=1e-5
+        )
+        # a filtered (truncated) stream also decodes without error
+        partial = model.decode_global(gi[:3], ut[:3], amp[:3], batch_size=1)
+        assert partial.shape == canonical.shape

@@ -67,3 +67,77 @@ def test_data_parallel_step_runs_and_matches_single_device():
         np.asarray(params), np.asarray(expected), rtol=1e-5, atol=1e-6
     )
     assert np.isfinite(float(loss))
+
+
+def test_sharded_sparse_code_rejects_indivisible_atoms():
+    mesh = make_mesh(axis_names=("dict",))
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.standard_normal((12, 8)).astype(np.float32))  # 12 % 8 != 0
+    sig = jnp.asarray(rng.standard_normal((1, 1, 64)).astype(np.float32))
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_sparse_code(mesh, sig, d, n_steps=2)
+
+
+def test_make_mesh_rejects_too_few_devices():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(axis_sizes=(16,), axis_names=("data",))
+
+
+def test_data_parallel_siam_train_step_matches_single_device():
+    """A real model's training step under DP: the SIAM encoder consumes
+    the sharded batch, so per-shard forward AND backward depend on the
+    local shard (VERDICT r1 item 2; reference training loop
+    ``iterativedecomposition.py:499-544`` as the DP unit)."""
+    import optax
+    from mptpu.models.siam import SIAMModel, make_iterative_fn, siam_transform
+    from mptpu.losses import iterative_loss
+
+    n_samples, window, step_size = 2**12, 512, 128
+    model = SIAMModel(
+        n_samples=n_samples,
+        context_dim=8,
+        in_channels=window // 2 + 1,
+        hidden_channels=16,
+        n_events=2,
+        transform_window_size=window,
+        transform_step_size=step_size,
+        fft_resonance=True,
+    )
+    key = jax.random.PRNGKey(0)
+    audio = jax.random.normal(jax.random.PRNGKey(1), (1, 1, n_samples)) * 0.1
+    params = model.init(key, audio, key)
+    batch = jax.random.normal(jax.random.PRNGKey(2), (8, 1, n_samples)) * 0.1
+    iterative = make_iterative_fn(model)
+
+    def loss_fn(params, batch, key):
+        channels, _, _, _ = iterative(params, batch, key)
+        return iterative_loss(
+            batch, channels, lambda x: siam_transform(x, window, step_size)
+        )
+
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(axis_names=("data",))
+    step = make_data_parallel_step(loss_fn, opt, mesh)
+    step_key = jax.random.PRNGKey(3)
+    dp_params, _, dp_loss = step(params, opt.init(params), batch, step_key)
+
+    # single-device reference on the full batch
+    @jax.jit
+    def single_step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    sd_params, sd_loss = single_step(params, opt.init(params), batch, step_key)
+    assert np.isfinite(float(dp_loss))
+    np.testing.assert_allclose(float(dp_loss), float(sd_loss), rtol=1e-4)
+    from jax.flatten_util import ravel_pytree
+
+    flat_dp, _ = ravel_pytree(dp_params)
+    flat_sd, _ = ravel_pytree(sd_params)
+    # tolerance: the grad all-reduce sums shards in a different order than
+    # the single-device batch mean, and Adam's rsqrt amplifies the float
+    # noise for near-zero second moments
+    np.testing.assert_allclose(
+        np.asarray(flat_dp), np.asarray(flat_sd), rtol=1e-3, atol=5e-5
+    )

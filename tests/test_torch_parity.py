@@ -237,6 +237,82 @@ def test_greedy_mp_event_parity(ref):
     )
 
 
+def _ref_dictionary_learning_step(ref, signal_np, d_np, steps):
+    """The reference's dictionary_learning_step
+    (``matchingpursuit.py:348-419``) reimplemented minimally with the
+    reference's own conv/unit_norm ops (the real module pulls in
+    util.device). Faithful details: events recorded in first-selection
+    (dict-insertion) order; scatter trims a 3x pad so energy past the
+    signal end is dropped; gathers past the end read zeros; the
+    re-subtract uses new_atom * |value|."""
+    n_samples = signal_np.shape[-1]
+    atom_size = d_np.shape[-1]
+    td = ref["normalization"].unit_norm(t(d_np)).clone()
+    residual = t(signal_np).clone()
+    batch = residual.shape[0]
+
+    instances = {}
+    for _ in range(steps):
+        fm = ref["conv"].torch_conv(residual, td)
+        flat = fm.reshape(batch, -1)
+        for j in range(batch):
+            idx = int(torch.argmax(flat[j]))
+            val = float(flat[j, idx])
+            ai, pos = idx // n_samples, idx % n_samples
+            instances.setdefault(ai, []).append((ai, j, pos, td[ai] * val))
+            seg = residual[j, 0, pos : pos + atom_size]
+            seg -= (td[ai] * val)[: seg.shape[0]]
+
+    def scatter(inst):
+        out = torch.zeros(batch, 1, 3 * n_samples)
+        for ai, j, p, a in inst:
+            out[j, 0, n_samples + p : n_samples + p + atom_size] += a
+        return out[:, :, n_samples : 2 * n_samples]
+
+    def gather(x, inst):
+        src = torch.cat([torch.zeros_like(x), x, torch.zeros_like(x)], dim=-1)
+        return torch.stack(
+            [
+                src[j, 0, n_samples + p : n_samples + p + atom_size]
+                for ai, j, p, a in inst
+            ]
+        )
+
+    for index, inst in instances.items():
+        residual = residual + scatter(inst)
+        new_atom = gather(residual, inst).sum(dim=0)
+        new_atom = ref["normalization"].unit_norm(new_atom.reshape(-1))
+        td[index] = new_atom
+        updated = [
+            (ai, j, p, new_atom * torch.norm(a, dim=-1, keepdim=True)[0])
+            for ai, j, p, a in inst
+        ]
+        residual = residual - scatter(updated)
+    return ref["normalization"].unit_norm(td).numpy()
+
+
+def test_dictionary_learning_step_parity_with_boundary_clipped_events(ref):
+    """Learned dictionaries must match the reference even when events clip
+    the signal boundary (ADVICE r1: the pad region must be re-zeroed after
+    every scatter, and atoms visited in first-selection order)."""
+    from mptpu.sparse import dictionary_learning_step
+
+    n_samples, n_atoms, atom_size, steps = 128, 4, 32, 10
+    signal = RNG.standard_normal((2, 1, n_samples)).astype(np.float32) * 0.1
+    # strong energy right at the end so the argmax lands on
+    # boundary-clipping positions
+    signal[:, :, -6:] += RNG.standard_normal((2, 1, 6)).astype(np.float32) * 3.0
+    d = RNG.standard_normal((n_atoms, atom_size)).astype(np.float32)
+
+    theirs = _ref_dictionary_learning_step(ref, signal, d, steps)
+    ours = np.asarray(
+        dictionary_learning_step(
+            jnp.asarray(signal), jnp.asarray(d), n_steps=steps
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
 def test_recon_snr_parity_at_fixed_sparsity(ref):
     """BASELINE.md: <=0.1 dB recon-SNR delta at fixed sparsity. Since the
     event sequences are identical, the SNR delta reduces to float noise —

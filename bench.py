@@ -72,8 +72,11 @@ def main():
     )
     # compile + warm up: the axon backend defers heavy work past
     # block_until_ready, so force a device->host transfer of a value that
-    # depends on every step
+    # depends on every step. Compile time is surfaced in the JSON so
+    # round-over-round regressions are visible (VERDICT r1 item 9).
+    t0 = time.perf_counter()
     float(coder(sig, d).values.sum())
+    compile_s = time.perf_counter() - t0
     float(coder(sig, d).values.sum())
     # timed runs
     runs = 3
@@ -94,6 +97,7 @@ def main():
         "value": round(tpu_atoms_per_sec, 2),
         "unit": "atoms/sec/chip (512 atoms x 512 taps, 16k samples, 100 steps, batch 32)",
         "vs_baseline": round(tpu_atoms_per_sec / cpu_aps, 2),
+        "compile_s": round(compile_s, 1),
     }
     print(json.dumps(result))
 

@@ -16,6 +16,7 @@ from .audioiter import (
 )
 from .synthetic import synthetic_audio, ensure_demo_dataset
 from .kv import KVCollection, cache
+from .fetch import get_audio_segment, default_transport
 from .native import NativeAudioLoader, native_available, build_native
 
 __all__ = [
@@ -32,6 +33,8 @@ __all__ = [
     "ensure_demo_dataset",
     "KVCollection",
     "cache",
+    "get_audio_segment",
+    "default_transport",
     "NativeAudioLoader",
     "native_available",
     "build_native",

@@ -8,8 +8,13 @@ from .search import BruteForceSearch, k_nearest, build_index
 from .mp_model import MatchingPursuit
 from .multiresolution import BandEncoder, EncoderShell, ConvBandDecoder, DecoderShell
 from .inference import SIAMCodec, SIAMEncoding
+from .instrument import PlayableInstrument, damped_sequential
+from .songsplat import SongSplatModel
 
 __all__ = [
+    "PlayableInstrument",
+    "damped_sequential",
+    "SongSplatModel",
     "OverfitHierarchicalEvents",
     "splat_loss_transform",
     "InstrumentModel",

@@ -315,31 +315,42 @@ def streaming_encode(
     frame_step = frame_window // 2
 
     _scan_fn = make_iterative_fn(model)
-    iterative_fn = jax.jit(
-        lambda p, s, k: _scan_fn(p, s, k, do_transform=False)
-    )
+
+    # device-resident window walk (VERDICT r1 item 8): the residual
+    # spectrogram and the event segments stay on device across windows —
+    # offsets are traced, so every window runs the same compiled program
+    # and nothing round-trips through host numpy until the final output.
+    @jax.jit
+    def window_step(params, spec, segments, frame_i, sample_i, key):
+        window = lax.dynamic_slice(
+            spec, (0, 0, frame_i), (spec.shape[0], spec.shape[1], frame_window)
+        )
+        channels, vecs, schedules, residual = _scan_fn(
+            params, window, key, do_transform=False
+        )
+        spec = lax.dynamic_update_slice(spec, residual, (0, 0, frame_i))
+        seg = lax.dynamic_slice(
+            segments, (0, 0, sample_i), (1, model.n_events, window_size)
+        )
+        segments = lax.dynamic_update_slice(
+            segments, seg + channels, (0, 0, sample_i)
+        )
+        return spec, segments, channels, vecs, schedules
 
     segments = jnp.zeros((1, model.n_events, samps + window_size))
     all_vecs, all_times, all_events = [], [], []
 
-    spec = np.array(spec)  # writable host copy
     step_count = 0
     for i in range(0, time - frame_window, frame_step):
-        window = jnp.asarray(spec[:, :, i : i + frame_window])
-        channels, vecs, schedules, residual = iterative_fn(
-            params, window, jax.random.fold_in(key, step_count)
+        spec, segments, channels, vecs, schedules = window_step(
+            params,
+            spec,
+            segments,
+            i,
+            i * model.transform_step_size,
+            jax.random.fold_in(key, step_count),
         )
         step_count += 1
-        spec[:, :, i : i + frame_window] = np.asarray(residual)
-        start_sample = i * model.transform_step_size
-        segments = lax.dynamic_update_slice(
-            segments,
-            lax.dynamic_slice(
-                segments, (0, 0, start_sample), (1, model.n_events, window_size)
-            )
-            + channels,
-            (0, 0, start_sample),
-        )
         all_vecs.append(vecs)
         all_times.append(schedules)
         all_events.append(channels)

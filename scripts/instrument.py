@@ -1,0 +1,124 @@
+"""Interactive playable instrument REPL (reference ``interactive.py`` —
+render events from a trained checkpoint under user-supplied vectors and
+times).
+
+Usage:
+  python scripts/instrument.py [--checkpoint DIR] [--tiny] [--demo out.wav]
+
+REPL commands:
+  note <time_s> [amp] [seed]   queue a random-latent note at time_s
+  vec <i> <time_s> [amp]       queue bank vector i at time_s
+  harvest                      fill the vector bank from a real segment
+  render [out.wav]             render queued notes to WAV (+ dashboard)
+  list | clear | quit
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mptpu.utils.platform import apply_platform_from_env
+apply_platform_from_env()
+
+import numpy as np
+
+
+def build(checkpoint: str | None, tiny: bool):
+    from mptpu.models.inference import SIAMCodec
+    from mptpu.models.instrument import PlayableInstrument
+    from mptpu.models.siam import SIAMModel
+
+    if tiny:
+        model = SIAMModel(
+            n_samples=2**13, context_dim=16, in_channels=257,
+            hidden_channels=32, n_events=4,
+            transform_window_size=512, transform_step_size=256,
+        )
+    else:
+        model = SIAMModel()
+    codec = SIAMCodec(model=model, checkpoint_dir=checkpoint)
+    return PlayableInstrument(codec)
+
+
+def demo_phrase(inst, out_path: str):
+    """One-shot: an arpeggio of random-latent notes (used by tests)."""
+    for i, t in enumerate([0.0, 0.25, 0.5, 0.75, 1.0]):
+        inst.add_note(inst.random_vector(seed=i), t, amplitude=1.0 - 0.1 * i)
+    audio = inst.render()
+    from mptpu.utils.wav import write_wav
+
+    write_wav(out_path, audio[0, 0], inst.samplerate)
+    print(f"wrote {out_path} ({audio.shape[-1]} samples, "
+          f"{audio.shape[-1]/inst.samplerate:.2f}s, rms "
+          f"{float(np.sqrt(np.mean(audio**2))):.5f})")
+    return audio
+
+
+def repl(inst):
+    from mptpu.utils.wav import write_wav
+
+    print("mptpu instrument — 'note <t> [amp] [seed]', 'vec <i> <t> [amp]', "
+          "'harvest', 'render [f.wav]', 'list', 'clear', 'quit'")
+    while True:
+        try:
+            line = input("> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not line:
+            continue
+        cmd, *rest = line.split()
+        try:
+            if cmd == "quit":
+                break
+            elif cmd == "note":
+                t = float(rest[0])
+                amp = float(rest[1]) if len(rest) > 1 else 1.0
+                seed = int(rest[2]) if len(rest) > 2 else len(inst.notes)
+                inst.add_note(inst.random_vector(seed), t, amp)
+                print(f"queued note @{t}s amp {amp} (seed {seed})")
+            elif cmd == "vec":
+                i, t = int(rest[0]), float(rest[1])
+                amp = float(rest[2]) if len(rest) > 2 else 1.0
+                inst.add_note(inst.bank_vector(i), t, amp)
+                print(f"queued bank[{i}] @{t}s amp {amp}")
+            elif cmd == "harvest":
+                from mptpu.data import AudioIterator
+
+                seg = next(iter(AudioIterator(
+                    1, inst.model.n_samples, normalize=True, seed=3
+                )))
+                bank = inst.harvest_bank(seg)
+                print(f"bank: {bank.shape[0]} vectors")
+            elif cmd == "render":
+                path = rest[0] if rest else "instrument_out.wav"
+                audio = inst.render()
+                write_wav(path, audio[0, 0], inst.samplerate)
+                print(f"wrote {path} ({audio.shape[-1]} samples)")
+            elif cmd == "list":
+                for j, n in enumerate(inst.notes):
+                    print(f"{j}: t={n.time_s}s amp={n.amplitude}")
+            elif cmd == "clear":
+                inst.clear()
+                print("cleared")
+            else:
+                print(f"unknown command {cmd!r}")
+        except (IndexError, ValueError) as e:
+            print(f"error: {e}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", type=str, default="trained_weights/siam")
+    parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--demo", type=str, default=None,
+                        help="render a demo phrase to this wav and exit")
+    args = parser.parse_args()
+    inst = build(args.checkpoint, args.tiny)
+    if args.demo:
+        demo_phrase(inst, args.demo)
+    else:
+        repl(inst)

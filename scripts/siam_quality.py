@@ -1,0 +1,240 @@
+"""SIAM flagship training-quality + honest-throughput run (VERDICT r1
+items 4 & 5; reference ``iterativedecomposition.py:377-606``,
+``v3blogpost.py:59-93``).
+
+Trains the full reference configuration (n_samples 2^17, 32 events,
+batch 2, STFT 2048/256, Adam 1e-4) at ``attn_floor=0.0`` (exact
+reference semantics) and reports:
+
+- honest steady-state step time: >=100 steps of wall clock with a
+  loss-value-dependent host transfer EVERY step (the axon backend defers
+  work past block_until_ready), plus the pipelined variant (transfer
+  once at the end) for comparison;
+- reconstruction quality on a HELD-OUT segment (never streamed during
+  training): recon SNR and log-spectral distance, periodically;
+- a checkpoint + a JSON metrics file consumed by scripts/report.py.
+
+Run to completion in the background (never under `timeout` — killing a
+TPU process wedges the device); the in-process watchdog is
+faulthandler-based.
+"""
+
+from __future__ import annotations
+
+import argparse
+import faulthandler
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mptpu.utils.platform import apply_platform_from_env
+apply_platform_from_env()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from mptpu.data import AudioIterator
+from mptpu.losses import iterative_loss
+from mptpu.models.siam import (
+    SIAMModel,
+    make_iterative_fn,
+    siam_transform,
+)
+from mptpu.train import optimizer, CheckpointManager
+
+
+def spectral_metrics(target: jax.Array, recon: jax.Array, window: int, step: int):
+    """Recon SNR (dB, time domain) + log-spectral distance (dB RMS)."""
+    snr = 10.0 * jnp.log10(
+        jnp.sum(target**2) / jnp.maximum(jnp.sum((target - recon) ** 2), 1e-12)
+    )
+    ts = siam_transform(target, window, step)
+    rs = siam_transform(recon, window, step)
+    lsd = jnp.sqrt(
+        jnp.mean((20 * jnp.log10(ts + 1e-8) - 20 * jnp.log10(rs + 1e-8)) ** 2)
+    )
+    return snr, lsd
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iterations", type=int, default=2000)
+    parser.add_argument("--batch-size", type=int, default=2)
+    parser.add_argument("--eval-every", type=int, default=250)
+    parser.add_argument("--timing-steps", type=int, default=100)
+    parser.add_argument("--attn-floor", type=float, default=0.0)
+    parser.add_argument("--out", type=str, default="trained_weights/siam_quality")
+    parser.add_argument("--watchdog-s", type=int, default=14000)
+    parser.add_argument("--tiny", action="store_true",
+                        help="small config for smoke testing the script flow")
+    args = parser.parse_args()
+
+    faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.tiny:
+        n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
+        window, step_sz = 512, 256
+    else:
+        # full reference hyperparams (iterativedecomposition.py:25-42)
+        n_samples, n_events, hidden, context_dim = 2**17, 32, 128, 32
+        window, step_sz = 2048, 256
+    model = SIAMModel(
+        n_samples=n_samples,
+        context_dim=context_dim,
+        in_channels=window // 2 + 1,
+        hidden_channels=hidden,
+        n_events=n_events,
+        transform_window_size=window,
+        transform_step_size=step_sz,
+        fft_resonance=True,
+        attn_floor=args.attn_floor,
+    )
+
+    train_stream = AudioIterator(
+        batch_size=args.batch_size,
+        n_samples=n_samples,
+        samplerate=22050,
+        normalize=True,
+        seed=1,
+    )
+    # held-out: a segment the training stream (seed=1) never yields
+    holdout = next(iter(AudioIterator(1, n_samples, normalize=True, seed=987654)))
+
+    key = jax.random.PRNGKey(0)
+    example = jnp.zeros((args.batch_size, 1, n_samples))
+    t0 = time.perf_counter()
+    params = jax.jit(model.init)(key, example, key)
+    jax.block_until_ready(params)
+    init_s = time.perf_counter() - t0
+    print(f"init {init_s:.1f}s", flush=True)
+
+    opt = optimizer(lr=1e-4, b1=0.9, b2=0.999)
+    opt_state = opt.init(params)
+    ckpt = CheckpointManager(args.out, every=250)
+    iterative = make_iterative_fn(model)
+
+    def loss_fn(params, target, key):
+        channels, vecs, schedules, _ = iterative(params, target, key)
+        loss = iterative_loss(
+            target,
+            channels,
+            lambda x: siam_transform(x, window, step_sz, mag_epsilon=1e-6),
+        )
+        return loss, channels
+
+    @jax.jit
+    def train_step(params, opt_state, target, key):
+        (loss, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, target, key
+        )
+        updates, new_opt = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        ok = jnp.isfinite(loss)
+        params_out = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_params, params
+        )
+        opt_out = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
+        )
+        return params_out, opt_out, loss
+
+    @jax.jit
+    def reconstruct(params, audio, key):
+        channels, _, _, _ = iterative(params, audio, key)
+        return jnp.sum(channels, axis=1, keepdims=True)
+
+    stream = iter(train_stream)
+
+    # ---- compile + 2 warmup steps
+    t0 = time.perf_counter()
+    item = next(stream)
+    params, opt_state, loss = train_step(params, opt_state, item, key)
+    first_loss = float(loss)
+    compile_s = time.perf_counter() - t0
+    print(f"first step (incl compile) {compile_s:.1f}s loss {first_loss:.1f}", flush=True)
+    params, opt_state, loss = train_step(
+        params, opt_state, next(stream), jax.random.fold_in(key, 1)
+    )
+    float(loss)
+
+    metrics = {
+        "config": "n_samples 2^17, 32 events, batch %d, STFT 2048/256, attn_floor %.3f"
+        % (args.batch_size, args.attn_floor),
+        "init_s": round(init_s, 1),
+        "first_step_s": round(compile_s, 1),
+        "eval": [],
+    }
+
+    # ---- honest step timing: per-step loss transfer over timing_steps
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(args.timing_steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, next(stream), jax.random.fold_in(key, 100 + i)
+        )
+        acc += float(loss)  # device->host every step
+    synced = (time.perf_counter() - t0) / args.timing_steps
+    print(f"per-step-synced: {synced*1e3:.1f} ms/step "
+          f"({1/synced:.2f} steps/s, mean loss {acc/args.timing_steps:.1f})",
+          flush=True)
+
+    # ---- pipelined timing: transfer once at the end
+    t0 = time.perf_counter()
+    for i in range(args.timing_steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, next(stream), jax.random.fold_in(key, 300 + i)
+        )
+    acc = float(loss)
+    pipelined = (time.perf_counter() - t0) / args.timing_steps
+    print(f"pipelined: {pipelined*1e3:.1f} ms/step ({1/pipelined:.2f} steps/s)",
+          flush=True)
+    metrics["ms_per_step_synced"] = round(synced * 1e3, 1)
+    metrics["ms_per_step_pipelined"] = round(pipelined * 1e3, 1)
+
+    # ---- training to quality, periodic held-out eval
+    step0 = 2 + 2 * args.timing_steps
+    losses = []
+    collapse_guard = {"zero_streak": 0}
+    for i in range(step0, args.iterations):
+        params, opt_state, loss = train_step(
+            params, opt_state, next(stream), jax.random.fold_in(key, i)
+        )
+        if i % 25 == 0:
+            l = float(loss)
+            losses.append([i, round(l, 2)])
+            print(f"iter {i} loss {l:.2f}", flush=True)
+            # collapse telemetry (VERDICT r1: document attn_floor=0.0)
+            if l == 0.0:
+                collapse_guard["zero_streak"] += 1
+            else:
+                collapse_guard["zero_streak"] = 0
+        if i % args.eval_every == 0:
+            recon = reconstruct(params, holdout, jax.random.PRNGKey(7))
+            snr, lsd = spectral_metrics(holdout, recon, window, step_sz)
+            rms = float(jnp.sqrt(jnp.mean(recon**2)))
+            entry = {
+                "step": i,
+                "holdout_snr_db": round(float(snr), 3),
+                "holdout_lsd_db": round(float(lsd), 3),
+                "recon_rms": round(rms, 6),
+            }
+            metrics["eval"].append(entry)
+            print("eval", json.dumps(entry), flush=True)
+            with open(os.path.join(args.out, "metrics.json"), "w") as f:
+                json.dump({**metrics, "losses": losses}, f, indent=1)
+        ckpt.maybe_save(i, params, opt_state)
+
+    ckpt.maybe_save(0, params, opt_state) if args.iterations == 0 else None
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump({**metrics, "losses": losses}, f, indent=1)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

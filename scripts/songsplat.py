@@ -1,0 +1,164 @@
+"""Whole-song splatting trainer (reference ``songsplat.py:731-843``):
+fit one song-length event bank by sampling random segments, rendering
+the events in range, and optimizing an STFT reconstruction loss plus a
+straight-through l0 sparsity penalty on event times.
+
+Usage:
+  python scripts/songsplat.py [--iterations N] [--tiny] [--song path.wav]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mptpu.utils.platform import apply_platform_from_env
+apply_platform_from_env()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from mptpu.models.songsplat import SongSplatModel
+from mptpu.ops.stft import stft
+from mptpu.obs import Collection, serve_collection
+from mptpu.train import CheckpointManager
+from mptpu.utils.wav import read_wav
+
+
+def get_song(path: str | None, total_samples: int, samplerate: int) -> np.ndarray:
+    """Load (or synthesize) the song (reference ``get_samples``,
+    ``songsplat.py:681-688``)."""
+    if path and os.path.exists(path):
+        samples, sr = read_wav(path)
+        if sr != samplerate:
+            from mptpu.utils.wav import fft_resample_np
+
+            samples = fft_resample_np(samples, sr, samplerate)
+        if samples.shape[-1] < total_samples:
+            samples = np.pad(samples, (0, total_samples - samples.shape[-1]))
+        start = np.random.randint(0, max(1, samples.shape[-1] - total_samples))
+        return samples[start : start + total_samples].astype(np.float32)
+    from mptpu.data.synthetic import synthetic_audio
+
+    return synthetic_audio(total_samples, seed=42)
+
+
+def segment_stream(song: np.ndarray, model: SongSplatModel, seed: int = 0):
+    """Random in-range segments; yields (batch (1,1,S), start_frame)
+    (reference ``dataset``, ``songsplat.py:690-714``). Segments start at
+    least one segment in (the extended window needs pre-context)."""
+    rng = np.random.default_rng(seed)
+    lo = model.segment_frames
+    hi = model.total_frames - model.segment_frames
+    while True:
+        start_frame = int(rng.integers(lo, hi))
+        s = start_frame * model.step_size
+        chunk = song[s : s + model.n_segment_samples]
+        yield jnp.asarray(chunk).reshape(1, 1, -1), start_frame
+
+
+def spec_transform(x: jax.Array) -> jax.Array:
+    """Reference ``transform`` = stft(x, 2048, 256) (``songsplat.py:38``)."""
+    return stft(x, 2048, 256, pad=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iterations", type=int, default=1000)
+    parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--song", type=str, default=None)
+    parser.add_argument("--port", type=int, default=0)
+    parser.add_argument("--out", type=str, default="trained_weights/songsplat")
+    parser.add_argument("--log-every", type=int, default=25)
+    parser.add_argument("--sparsity", type=float, default=0.0)
+    args = parser.parse_args()
+
+    if args.tiny:
+        total_samples, segment_samples, eps, cap = 2**15, 2**12, 16.0, 8
+    else:
+        # reference config: 2^19-sample song, 2^15-sample segments
+        total_samples, segment_samples, eps, cap = 2**19, 2**15, 8.0, 32
+
+    model = SongSplatModel(
+        total_samples=total_samples,
+        n_segment_samples=segment_samples,
+        events_per_second=eps,
+        events_per_segment=cap,
+    )
+    song = get_song(args.song, total_samples, model.samplerate)
+    stream = segment_stream(song, model)
+
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(key, jnp.array(model.segment_frames), key)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(
+        f"song {total_samples} samples, {model.total_events} events, "
+        f"{n_params} params, compression ratio {model.compression_ratio:.4f}",
+        flush=True,
+    )
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    ckpt = CheckpointManager(args.out, every=250)
+    collection = Collection(os.path.join(args.out, "dashboard"))
+    server = serve_collection(collection, port=args.port) if args.port else None
+
+    def loss_fn(params, target, start_frame, key):
+        rendered, mask, sched = model.apply(params, start_frame, key)
+        recon = jnp.sum(rendered, axis=1, keepdims=True)
+        loss = jnp.abs(
+            spec_transform(recon) - spec_transform(target)
+        ).sum()
+        if args.sparsity:
+            loss = loss + args.sparsity * jnp.sum(sched)  # straight-through l0
+        return loss, recon
+
+    @jax.jit
+    def train_step(params, opt_state, target, start_frame, key):
+        (loss, recon), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, target, start_frame, key
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, recon
+
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(args.iterations):
+        target, start_frame = next(stream)
+        params, opt_state, loss, recon = train_step(
+            params, opt_state, target, jnp.array(start_frame), jax.random.fold_in(key, i)
+        )
+        if i % args.log_every == 0:
+            l = float(loss)
+            losses.append(l)
+            print(f"iter {i} loss {l:.2f}", flush=True)
+            collection.log("orig", np.asarray(target[0, 0]), kind="audio")
+            collection.log("recon", np.asarray(recon[0, 0]), kind="audio")
+            collection.log("loss", np.asarray(losses[-200:]))
+        if i % 100 == 0 and i > 0:
+            rnd = model.apply(
+                params, jax.random.fold_in(key, -i), method=SongSplatModel.generate_random
+            )
+            collection.log("random", np.asarray(jnp.sum(rnd, 1)[0]), kind="audio")
+        ckpt.maybe_save(i, params, opt_state)
+
+    elapsed = time.perf_counter() - t0
+    print(
+        f"done: {args.iterations} iters in {elapsed:.1f}s "
+        f"({args.iterations/elapsed:.2f} steps/s), loss {losses[0]:.1f} -> {losses[-1]:.1f}",
+        flush=True,
+    )
+    if server:
+        server.shutdown()
+    return losses
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,14 @@ def cpu_reference_mp(signal: np.ndarray, d: np.ndarray, n_steps: int) -> float:
 
 def main():
     import jax
+
+    # persistent compile cache: the fused kernel's cold remote compile is
+    # minutes; warm runs load the executable from .jax_cache
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from mptpu.sparse import sparse_code_fast
 
@@ -65,10 +73,10 @@ def main():
     d = jnp.asarray(d_np)
     sig = jnp.asarray(sig_np)
 
+    # the fully-fused Pallas step kernel (mptpu/sparse/pallas_fused_mp.py):
+    # ~2.4x the round-1 block-argmax engine at this config
     coder = jax.jit(
-        lambda s, d: sparse_code_fast(
-            s, d, n_steps=n_steps, block_argmax=True
-        )
+        lambda s, d: sparse_code_fast(s, d, n_steps=n_steps, fused=True)
     )
     # compile + warm up: the axon backend defers heavy work past
     # block_until_ready, so force a device->host transfer of a value that

@@ -20,8 +20,14 @@ def synthetic_audio(
     samplerate: int = 22050,
     n_events: int = 16,
     seed: int = 0,
+    sustained: bool = False,
 ) -> np.ndarray:
-    """One mono segment of decaying-harmonic events (float32, max-normed)."""
+    """One mono segment of decaying-harmonic events (float32, max-normed).
+
+    ``sustained=True`` adds slow-decay pedal tones underneath so the
+    result has MusicNet-like density (energy everywhere) instead of
+    sparse plinks — the regime the reference's SIAM training assumes.
+    """
     rng = np.random.default_rng(seed)
     out = np.zeros(n_samples, dtype=np.float64)
     t = np.arange(n_samples) / samplerate
@@ -41,6 +47,22 @@ def synthetic_audio(
         attack = min(256, dur)
         seg[:attack] += rng.standard_normal(attack) * np.linspace(1, 0, attack) * 0.5
         out[start : start + dur] += seg * env * rng.uniform(0.3, 1.0)
+    if sustained:
+        # pedal tones: long overlapping notes covering the whole segment
+        n_pedal = max(4, int(n_samples / samplerate * 1.5))
+        for _ in range(n_pedal):
+            f0 = rng.uniform(65.0, 880.0)
+            start = rng.integers(0, max(1, int(n_samples * 0.9)))
+            dur = int(rng.uniform(1.0, 4.0) * samplerate)
+            dur = min(dur, n_samples - start)
+            env = np.exp(-np.linspace(0, rng.uniform(0.5, 2.0), dur))
+            seg = np.zeros(dur)
+            for h in range(1, 8):
+                if f0 * h < samplerate / 2:
+                    seg += rng.uniform(0.2, 1.0) / h * np.sin(
+                        2 * np.pi * f0 * h * t[:dur] + rng.uniform(0, 2 * np.pi)
+                    )
+            out[start : start + dur] += seg * env * rng.uniform(0.2, 0.6)
     mx = np.abs(out).max() + 1e-8
     return (out / mx).astype(np.float32)
 
@@ -50,16 +72,25 @@ def ensure_demo_dataset(
     n_files: int = 4,
     seconds: float = 12.0,
     samplerate: int = 22050,
+    dense: bool = False,
 ) -> str:
-    """Write a small synthetic WAV corpus if the directory is empty."""
+    """Write a small synthetic WAV corpus if the directory is empty.
+
+    ``dense=True`` writes MusicNet-density material (overlapping events +
+    sustained pedal tones, ~8 events/sec) — the data regime the SIAM
+    energy-removal loss needs to avoid the silence-collapse local optimum
+    (see BENCHMARKS.md SIAM notes)."""
     os.makedirs(directory, exist_ok=True)
     existing = [f for f in os.listdir(directory) if f.endswith(".wav")]
     if not existing:
         n = int(seconds * samplerate)
+        n_events = int(seconds * 8) if dense else 16
         for i in range(n_files):
             write_wav(
                 os.path.join(directory, f"synthetic_{i}.wav"),
-                synthetic_audio(n, samplerate, seed=i),
+                synthetic_audio(
+                    n, samplerate, n_events=n_events, seed=i, sustained=dense
+                ),
                 samplerate,
             )
     return directory

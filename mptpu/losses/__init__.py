@@ -25,7 +25,6 @@ from .gan import (
     squared_gan_loss,
 )
 from .serial import serial_loss, serial_matching_pursuit
-from ..train.gan import make_gan_steps, gan_cycle
 from .infoloss import (
     SpectralInfoLoss,
     MultiWindowSpectralInfoLoss,
@@ -56,3 +55,14 @@ __all__ = [
     "MultiBandSpectralInfoLoss",
     "patches2",
 ]
+
+
+def __getattr__(name):
+    # lazy re-exports of the training-side GAN alternation: importing them
+    # eagerly creates a train <-> losses circular import when mptpu.train
+    # is the first package touched
+    if name in ("make_gan_steps", "gan_cycle"):
+        from ..train import gan
+
+        return getattr(gan, name)
+    raise AttributeError(name)

@@ -35,6 +35,7 @@ from ..ops.correlation import mp_correlate
 from ..ops.norms import unit_norm
 from .matching_pursuit import SparseCodeResult, _normalize_dict
 from .pallas_mp import PALLAS_AVAILABLE, pallas_boundary_update
+from .pallas_fused_mp import pallas_fused_step, fused_step_applicable
 
 
 def dictionary_gram(d: jax.Array) -> jax.Array:
@@ -57,7 +58,8 @@ def dictionary_gram(d: jax.Array) -> jax.Array:
 
 
 @partial(
-    jax.jit, static_argnames=("n_steps", "block", "block_argmax", "use_pallas")
+    jax.jit,
+    static_argnames=("n_steps", "block", "block_argmax", "use_pallas", "fused"),
 )
 def sparse_code_fast(
     signal: jax.Array,
@@ -66,6 +68,7 @@ def sparse_code_fast(
     block: int = 512,
     block_argmax: bool = False,
     use_pallas: bool = False,
+    fused: bool = False,
 ) -> SparseCodeResult:
     """Drop-in fast path for ``sparse_code`` (1-channel dictionaries).
 
@@ -133,6 +136,40 @@ def sparse_code_fast(
         and atom_size % block == 0
         and n_atoms % 8 == 0
     )
+
+    if fused and fused_step_applicable(n_samples, atom_size, block, pad, n_atoms):
+        # whole-step fused Pallas kernel (argmax + refine + surgery +
+        # gram window + boundary tail + block-max repair in ONE kernel);
+        # map/table/residual carries are aliased in place across the scan
+        interpret = jax.default_backend() == "cpu"
+        # zero-pad the lag axis to 2A so DMA extents are 128-aligned
+        gram_p = jnp.pad(gram, ((0, 0), (0, 0), (0, 1)))
+
+        def fused_scan_step(carry, _):
+            residual, fm, bm = carry
+            fm, bm, residual, atom, pos, val = pallas_fused_step(
+                fm,
+                bm,
+                residual,
+                d2,
+                gram_p,
+                n_samples=n_samples,
+                atom_size=atom_size,
+                block=block,
+                pad=pad,
+                n_blocks=n_blocks,
+                upd_blocks=upd_blocks,
+                tail_start=tail_start,
+                interpret=interpret,
+            )
+            return (residual, fm, bm), (atom, pos, val)
+
+        (residual, _, _), (atom_indices, positions, values) = lax.scan(
+            fused_scan_step, (res0, fm0, blockmax0), None, length=n_steps
+        )
+        return SparseCodeResult(
+            atom_indices, positions, values, residual[:, None, :n_samples]
+        )
 
     def step(carry, _):
         residual, fm, bm = carry

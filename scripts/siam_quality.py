@@ -72,6 +72,10 @@ def main():
     parser.add_argument("--watchdog-s", type=int, default=14000)
     parser.add_argument("--tiny", action="store_true",
                         help="small config for smoke testing the script flow")
+    parser.add_argument("--dense", action="store_true",
+                        help="train on the MusicNet-density synthetic corpus")
+    parser.add_argument("--no-fade", action="store_true",
+                        help="disable the reference's second-half target fade")
     args = parser.parse_args()
 
     faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
@@ -96,15 +100,26 @@ def main():
         attn_floor=args.attn_floor,
     )
 
+    audio_path = None
+    if args.dense:
+        from mptpu.data.synthetic import ensure_demo_dataset
+
+        audio_path = ensure_demo_dataset(
+            "trained_weights/dense_corpus", n_files=6, seconds=24.0, dense=True
+        )
+
     train_stream = AudioIterator(
         batch_size=args.batch_size,
         n_samples=n_samples,
         samplerate=22050,
         normalize=True,
         seed=1,
+        audio_path=audio_path,
     )
     # held-out: a segment the training stream (seed=1) never yields
-    holdout = next(iter(AudioIterator(1, n_samples, normalize=True, seed=987654)))
+    holdout = next(iter(AudioIterator(
+        1, n_samples, normalize=True, seed=987654, audio_path=audio_path
+    )))
 
     key = jax.random.PRNGKey(0)
     example = jnp.zeros((args.batch_size, 1, n_samples))
@@ -119,10 +134,20 @@ def main():
     ckpt = CheckpointManager(args.out, every=250)
     iterative = make_iterative_fn(model)
 
+    # the reference fades the second half of the target before the loss
+    # (iterativedecomposition.py:519-524): the encoder's attention mask
+    # hides the second half, so un-fadeable content there would otherwise
+    # penalize every event and push amplitudes toward silence
+    fade = jnp.ones((1, 1, n_samples))
+    if not args.no_fade:
+        fade = fade.at[..., n_samples // 2 :].set(
+            jnp.linspace(1.0, 0.0, n_samples // 2) ** 8
+        )
+
     def loss_fn(params, target, key):
         channels, vecs, schedules, _ = iterative(params, target, key)
         loss = iterative_loss(
-            target,
+            target * fade,
             channels,
             lambda x: siam_transform(x, window, step_sz, mag_epsilon=1e-6),
         )

@@ -122,12 +122,19 @@ def train_and_monitor(
     iterative = make_iterative_fn(model)  # scan-based: compiles ~n_events
                                           # times faster than the unrolled loop
 
+    # reference second-half target fade (iterativedecomposition.py:519-524):
+    # the encoder's mask hides the second half, so content there would
+    # otherwise penalize every event and drive amplitudes toward silence
+    fade = jnp.ones((1, 1, n_samples)).at[..., n_samples // 2 :].set(
+        jnp.linspace(1.0, 0.0, n_samples // 2) ** 8
+    )
+
     def loss_fn(params, target, key):
         channels, vecs, schedules, _ = iterative(params, target, key)
         # smoothed magnitude: a silence-collapsed generator still gets a
         # restoring gradient (|z| is 0/0-dead at exactly zero)
         loss = iterative_loss(
-            target, channels,
+            target * fade, channels,
             lambda x: siam_transform(x, window, step_sz, mag_epsilon=1e-6),
         )
         return loss, (channels, vecs)

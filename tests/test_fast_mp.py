@@ -74,6 +74,45 @@ def test_fast_pallas_and_block_argmax_parity():
     )
 
 
+def _assert_same_events(a, b):
+    np.testing.assert_array_equal(
+        np.asarray(a.atom_indices), np.asarray(b.atom_indices)
+    )
+    np.testing.assert_array_equal(np.asarray(a.positions), np.asarray(b.positions))
+    np.testing.assert_allclose(
+        np.asarray(a.values), np.asarray(b.values), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.residual), np.asarray(b.residual), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_fused_step_kernel_parity():
+    """The whole-step fused Pallas kernel (interpret mode on CPU) must
+    reproduce the naive engine's event sequence exactly — including the
+    table argmax tie-breaking and the boundary-tail recompute."""
+    from mptpu.sparse.fast_mp import fused_step_applicable
+
+    sig = jnp.asarray(RNG.standard_normal((2, 1, 1024)).astype(np.float32))
+    d = jnp.asarray(RNG.standard_normal((16, 128)).astype(np.float32))
+    assert fused_step_applicable(1024, 128, 128, 128, 16)
+    a = sparse_code(sig, d, n_steps=10)
+    b = sparse_code_fast(sig, d, n_steps=10, block=128, fused=True)
+    _assert_same_events(a, b)
+
+
+def test_fused_step_kernel_boundary_parity():
+    """Boundary-clipped events through the fused kernel."""
+    d = jnp.asarray(RNG.standard_normal((8, 128)).astype(np.float32))
+    du = np.asarray(unit_norm(d))
+    sig = np.zeros((1, 1, 512), np.float32)
+    sig[0, 0, 448:] = du[2, :64] * 5.0   # clipped plant
+    sig[0, 0, 100:228] = du[5] * 3.0     # interior plant
+    a = sparse_code(jnp.asarray(sig), d, n_steps=6)
+    b = sparse_code_fast(jnp.asarray(sig), d, n_steps=6, block=128, fused=True)
+    _assert_same_events(a, b)
+
+
 def test_fast_boundary_clipping_parity():
     """Events whose atoms clip at the signal end must match the naive
     engine exactly (the gram update alone would be wrong there)."""

@@ -13,6 +13,7 @@ Built with ``shard_map`` so the collectives are explicit and ride ICI.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,13 +47,20 @@ def sharded_sparse_code(
     d: jax.Array,
     n_steps: int = 100,
     axis: str = "dict",
+    data_axis: Optional[str] = None,
 ) -> SparseCodeResult:
-    """Greedy MP with the dictionary sharded across ``axis``.
+    """Greedy MP with the dictionary sharded across ``axis``, and
+    (optionally) the batch sharded across ``data_axis`` — the 2-D
+    batch x dictionary mesh mode.
 
-    signal: (batch, channels, n_samples) — replicated
+    signal: (batch, channels, n_samples) — replicated over 'dict',
+            sharded over ``data_axis`` when given
     d: (n_atoms, atom_size) — sharded on atoms (n_atoms % n_devices == 0)
     Numerically identical to ``sparse_code`` (same greedy argmax; ties
-    break toward the lower global atom index).
+    break toward the lower global atom index). Collectives: per step one
+    all_gather of (value, atom, pos) triples + one masked psum of the
+    winning atom, both over the 'dict' axis only — batch rows never
+    communicate, so the 'data' axis adds zero ICI traffic.
     """
     if signal.ndim == 2:
         signal = signal[:, None, :]
@@ -69,34 +77,42 @@ def sharded_sparse_code(
             "choose a divisor mesh."
         )
     shard_atoms = n_atoms // n_dev
+    if data_axis is not None:
+        n_data = mesh.shape[data_axis]
+        if batch % n_data != 0:
+            raise ValueError(
+                f"sharded_sparse_code: batch ({batch}) must be divisible "
+                f"by the '{data_axis}' axis size ({n_data})."
+            )
 
     def body(signal, d_shard):
-        # runs per-device: d_shard (shard_atoms, C, A)
+        # runs per-device: signal (B_local, C, n), d_shard (shard_atoms, C, A)
         my_index = lax.axis_index(axis)
+        b_local = signal.shape[0]
 
         def step(residual, _):
-            fm = mp_correlate(residual, d_shard)  # (B, shard_atoms, n)
-            flat = fm.reshape(batch, -1)
+            fm = mp_correlate(residual, d_shard)  # (B_local, shard_atoms, n)
+            flat = fm.reshape(b_local, -1)
             local_idx = jnp.argmax(flat, axis=-1)
             local_val = jnp.take_along_axis(flat, local_idx[:, None], -1)[:, 0]
             local_atom = local_idx // n_samples
             local_pos = local_idx % n_samples
 
-            # gather every shard's (value, atom, pos) triple
-            vals = lax.all_gather(local_val, axis)       # (n_dev, B)
-            atoms_g = lax.all_gather(local_atom, axis)   # (n_dev, B)
-            pos_g = lax.all_gather(local_pos, axis)      # (n_dev, B)
+            # gather every dict-shard's (value, atom, pos) triple
+            vals = lax.all_gather(local_val, axis)       # (n_dev, B_local)
+            atoms_g = lax.all_gather(local_atom, axis)   # (n_dev, B_local)
+            pos_g = lax.all_gather(local_pos, axis)      # (n_dev, B_local)
 
-            winner = jnp.argmax(vals, axis=0)            # (B,)
-            b_idx = jnp.arange(batch)
+            winner = jnp.argmax(vals, axis=0)            # (B_local,)
+            b_idx = jnp.arange(b_local)
             win_val = vals[winner, b_idx]
             win_local_atom = atoms_g[winner, b_idx]
             win_pos = pos_g[winner, b_idx]
             win_global_atom = winner * shard_atoms + win_local_atom
 
             # owner broadcasts the winning atom via masked psum
-            is_owner = (winner == my_index).astype(signal.dtype)  # (B,)
-            local_contrib = d_shard[win_local_atom]  # (B, C, A) — garbage if not owner
+            is_owner = (winner == my_index).astype(signal.dtype)
+            local_contrib = d_shard[win_local_atom]  # (B_local, C, A)
             contrib = lax.psum(
                 local_contrib * is_owner[:, None, None], axis
             )
@@ -114,20 +130,21 @@ def sharded_sparse_code(
         # subtraction; mark the initial carry accordingly (shard_map vma)
         init = lax.pcast(signal, (axis,), to="varying")
         residual, events = lax.scan(step, init, None, length=n_steps)
-        # every device holds an identical residual (same winners applied),
-        # but the carry is typed device-varying — a pmax is an identity
-        # that re-establishes replication for out_specs=P()
+        # every dict shard holds an identical residual (same winners
+        # applied), but the carry is typed device-varying — a pmax is an
+        # identity that re-establishes replication along 'dict'
         residual = lax.pmax(residual, axis)
         events = jax.tree_util.tree_map(
             lambda e: lax.pmax(e, axis), events
         )
         return residual, events
 
+    dp = data_axis  # None -> replicated batch
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
-        out_specs=(P(), (P(), P(), P())),
+        in_specs=(P(dp), P(axis)),
+        out_specs=(P(dp), (P(None, dp), P(None, dp), P(None, dp))),
     )
     residual, (atom_indices, positions, values) = fn(signal, d3)
     return SparseCodeResult(atom_indices, positions, values, residual)

@@ -49,6 +49,13 @@ from .event_variants import (
 )
 from .instrument import InstrumentLayer, InstrumentStack
 from .goo import SpringMesh, string_mesh, simulate as goo_simulate, pluck_forces
+from .energy import (
+    EnergyInstrumentModel,
+    EnergyBlock,
+    to_blocks,
+    blocks_to_samples,
+    compute_discontinuity,
+)
 from .recurrent import FrameSynth, RecurrentSynth
 from .ssm_complex import ComplexSSM, CompressionModel, param_count
 from .audiomodel import OscillatorBank as OscillatorBankModule, AudioModel
@@ -112,6 +119,11 @@ __all__ = [
     "string_mesh",
     "goo_simulate",
     "pluck_forces",
+    "EnergyInstrumentModel",
+    "EnergyBlock",
+    "to_blocks",
+    "blocks_to_samples",
+    "compute_discontinuity",
     "FrameSynth",
     "RecurrentSynth",
     "ComplexSSM",

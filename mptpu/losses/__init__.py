@@ -25,6 +25,7 @@ from .gan import (
     squared_gan_loss,
 )
 from .serial import serial_loss, serial_matching_pursuit
+from .autocorrelation import AutocorrelationLoss, DecayLoss
 from .infoloss import (
     SpectralInfoLoss,
     MultiWindowSpectralInfoLoss,
@@ -49,6 +50,8 @@ __all__ = [
     "least_squares_disc_loss",
     "squared_gan_loss",
     "serial_loss",
+    "AutocorrelationLoss",
+    "DecayLoss",
     "serial_matching_pursuit",
     "SpectralInfoLoss",
     "MultiWindowSpectralInfoLoss",

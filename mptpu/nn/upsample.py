@@ -46,8 +46,11 @@ class ConvUpsample(nn.Module):
 
         for _ in range(n_layers):
             if self.mode == "learned":
+                # SAME padding doubles the length exactly (out = 2*in);
+                # explicit [(1,1)] yields 2*in - 2 in flax's ConvTranspose
+                # semantics, silently breaking every later reshape
                 x = nn.ConvTranspose(
-                    self.channels, (4,), strides=(2,), padding=[(1, 1)], **kw
+                    self.channels, (4,), strides=(2,), padding="SAME", **kw
                 )(x)
             else:
                 t = jnp.transpose(x, (0, 2, 1))

@@ -62,6 +62,35 @@ class _SvgComponent:
         return f'<div class="component">{t}{self.svg}</div>'
 
 
+class _TableComponent:
+    """Render a training-quality metrics table (scripts/siam_quality.py's
+    metrics.json) into the article."""
+
+    def __init__(self, metrics: dict, title="Training quality"):
+        self.metrics = metrics
+        self.title = title
+
+    def render(self):
+        m = self.metrics
+        rows = "".join(
+            f"<tr><td>{e['step']}</td><td>{e['holdout_snr_db']:.2f}</td>"
+            f"<td>{e['holdout_lsd_db']:.2f}</td><td>{e['recon_rms']:.5f}</td></tr>"
+            for e in m.get("eval", [])
+        )
+        head = (
+            f"<p>{m.get('config','')}</p>"
+            f"<p>init {m.get('init_s','?')}s; first step {m.get('first_step_s','?')}s; "
+            f"steady-state {m.get('ms_per_step_synced','?')} ms/step (per-step-synced), "
+            f"{m.get('ms_per_step_pipelined','?')} ms/step (pipelined)</p>"
+        )
+        return (
+            f'<div class="component"><h4>{self.title}</h4>{head}'
+            "<table border=1 cellpadding=4><tr><th>step</th>"
+            "<th>held-out SNR (dB)</th><th>held-out LSD (dB)</th>"
+            f"<th>recon RMS</th></tr>{rows}</table></div>"
+        )
+
+
 def make_report(
     checkpoint_dir: str | None,
     out_path: str,
@@ -69,6 +98,7 @@ def make_report(
     streaming: bool = False,
     audio_path: str | None = None,
     seed: int | None = None,
+    metrics_path: str | None = None,
 ):
     if tiny:
         model = SIAMModel(
@@ -114,6 +144,16 @@ def make_report(
         ),
     ]
 
+    if metrics_path:
+        import json as _json
+        import os as _os
+
+        if _os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                components.append(_TableComponent(_json.load(f)))
+        else:
+            print(f"metrics file {metrics_path} not found — skipping table")
+
     if streaming:
         long_audio = get_one_audio_segment(
             model.n_samples * 2, samplerate, audio_path=audio_path,
@@ -154,9 +194,11 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=None,
                         help="segment seed; match the trainer's --seed to report\n"
                              "on the exact audio an --overfit run was fit to")
+    parser.add_argument("--metrics", type=str, default=None,
+                        help="path to a siam_quality metrics.json to render")
     args = parser.parse_args()
     make_report(
         args.checkpoint, args.out, tiny=args.tiny,
         streaming=args.streaming, audio_path=args.audio_path,
-        seed=args.seed,
+        seed=args.seed, metrics_path=args.metrics,
     )

@@ -48,7 +48,21 @@ from .matching_pursuit import (
 def _jit_sparse_code(signal, d, n_steps, approx):
     if approx is None:
         # exact single-channel coding: the incremental-gram engine
-        # produces identical event sequences ~25x faster
+        # produces identical event sequences ~25x faster; on TPU the
+        # fully-fused Pallas step kernel adds another ~2.4x when the
+        # band/atom shapes satisfy its alignment gate
+        from .pallas_fused_mp import fused_step_applicable
+
+        n_samples = signal.shape[-1]
+        atom_size = d.shape[-1]
+        block = min(512, atom_size)
+        pad = ((atom_size - 1 + block - 1) // block) * block
+        if jax.default_backend() != "cpu" and fused_step_applicable(
+            n_samples, atom_size, block, pad, d.shape[0]
+        ):
+            return sparse_code_fast(
+                signal, d, n_steps=n_steps, block=block, fused=True
+            )
         return sparse_code_fast(
             signal, d, n_steps=n_steps, block_argmax=True
         )

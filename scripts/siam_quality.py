@@ -70,6 +70,10 @@ def main():
     parser.add_argument("--attn-floor", type=float, default=0.0)
     parser.add_argument("--out", type=str, default="trained_weights/siam_quality")
     parser.add_argument("--watchdog-s", type=int, default=14000)
+    parser.add_argument("--stall-s", type=int, default=900,
+                        help="re-armed per-progress watchdog: if no step "
+                             "completes for this long (device wedge), dump "
+                             "tracebacks and exit instead of hanging")
     parser.add_argument("--tiny", action="store_true",
                         help="small config for smoke testing the script flow")
     parser.add_argument("--dense", action="store_true",
@@ -231,6 +235,10 @@ def main():
             params, opt_state, next(stream), jax.random.fold_in(key, i)
         )
         if i % 25 == 0:
+            # progress made — re-arm the stall watchdog (a wedged remote
+            # device otherwise blocks in Array._value forever)
+            faulthandler.cancel_dump_traceback_later()
+            faulthandler.dump_traceback_later(args.stall_s, exit=True)
             l = float(loss)
             losses.append([i, round(l, 2)])
             print(f"iter {i} loss {l:.2f}", flush=True)

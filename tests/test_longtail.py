@@ -121,6 +121,24 @@ def test_conv_upsample_learned_mode_doubles_exactly():
     assert out.shape == (2, 3, 64)
 
 
+def test_conv_impulse_event_generator_end_to_end():
+    """Regression: the learned-upsampler fix unbroke this generator's
+    GenerateImpulse path (reference ``eventgenerators/convimpulse.py:85``)."""
+    from mptpu.gen.convimpulse import ConvImpulseEventGenerator
+
+    m = ConvImpulseEventGenerator(
+        context_dim=16, impulse_size=4096, resonance_size=8192,
+        samplerate=22050, n_samples=2**13, n_events=1,
+    )
+    vecs = jax.random.normal(jax.random.PRNGKey(0), (1, 16)) * 0.1
+    times = jnp.zeros((1, 1, 2**13 // 256)).at[0, 0, 3].set(1.0)
+    p = m.init(jax.random.PRNGKey(0), vecs, times, jax.random.PRNGKey(1))
+    out = m.apply(p, vecs, times, jax.random.PRNGKey(1))
+    assert out.shape == (1, 1, 8192)
+    assert bool(jnp.isfinite(out).all())
+    assert float(jnp.sqrt(jnp.mean(out**2))) > 0
+
+
 def test_generate_impulse_shapes():
     from mptpu.gen.impulse import GenerateImpulse
 

@@ -79,15 +79,24 @@ def ensure_demo_dataset(
     ``dense=True`` writes MusicNet-density material (overlapping events +
     sustained pedal tones, ~8 events/sec) — the data regime the SIAM
     energy-removal loss needs to avoid the silence-collapse local optimum
-    (see BENCHMARKS.md SIAM notes)."""
+    (see BENCHMARKS.md SIAM notes). Dense and sparse corpora use distinct
+    file prefixes so a directory previously populated with one kind is
+    regenerated (not silently reused) when the other is requested."""
     os.makedirs(directory, exist_ok=True)
-    existing = [f for f in os.listdir(directory) if f.endswith(".wav")]
+    prefix = "synthetic_dense_" if dense else "synthetic_"
+    existing = [
+        f
+        for f in os.listdir(directory)
+        if f.startswith(prefix)
+        and f.endswith(".wav")
+        and (dense or not f.startswith("synthetic_dense_"))
+    ]
     if not existing:
         n = int(seconds * samplerate)
         n_events = int(seconds * 8) if dense else 16
         for i in range(n_files):
             write_wav(
-                os.path.join(directory, f"synthetic_{i}.wav"),
+                os.path.join(directory, f"{prefix}{i}.wav"),
                 synthetic_audio(
                     n, samplerate, n_events=n_events, seed=i, sustained=dense
                 ),

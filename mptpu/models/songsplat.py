@@ -112,6 +112,14 @@ class SongSplatModel(nn.Module):
         return idx, mask
 
     def __call__(self, start_frame, key: jax.Array):
+        # clamp into the valid range so the range query and the logit
+        # window stay aligned (dynamic_slice clamps silently otherwise;
+        # the reference raises on too-early segments, songsplat.py:651)
+        start_frame = jnp.clip(
+            jnp.asarray(start_frame),
+            self.segment_frames,
+            self.total_frames - self.segment_frames,
+        )
         idx, mask = self.range_query(start_frame)
         vecs = self.events[idx]  # (K, latent)
 

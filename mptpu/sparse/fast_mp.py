@@ -170,6 +170,10 @@ def sparse_code_fast(
         return SparseCodeResult(
             atom_indices, positions, values, residual[:, None, :n_samples]
         )
+    elif fused:
+        # fused requested but shapes fail the alignment gate: fall back to
+        # the next-best engine, not the slowest flat-argmax path
+        block_argmax = True
 
     def step(carry, _):
         residual, fm, bm = carry

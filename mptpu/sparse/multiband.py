@@ -50,21 +50,15 @@ def _jit_sparse_code(signal, d, n_steps, approx):
         # exact single-channel coding: the incremental-gram engine
         # produces identical event sequences ~25x faster; on TPU the
         # fully-fused Pallas step kernel adds another ~2.4x when the
-        # band/atom shapes satisfy its alignment gate
-        from .pallas_fused_mp import fused_step_applicable
-
-        n_samples = signal.shape[-1]
-        atom_size = d.shape[-1]
-        block = min(512, atom_size)
-        pad = ((atom_size - 1 + block - 1) // block) * block
-        if jax.default_backend() != "cpu" and fused_step_applicable(
-            n_samples, atom_size, block, pad, d.shape[0]
-        ):
-            return sparse_code_fast(
-                signal, d, n_steps=n_steps, block=block, fused=True
-            )
+        # band/atom shapes satisfy its alignment gate (sparse_code_fast
+        # checks the gate itself and falls back to block_argmax)
         return sparse_code_fast(
-            signal, d, n_steps=n_steps, block_argmax=True
+            signal,
+            d,
+            n_steps=n_steps,
+            block=min(512, d.shape[-1]),
+            fused=jax.default_backend() != "cpu",
+            block_argmax=True,
         )
     return sparse_code(signal, d, n_steps=n_steps, approx=approx)
 
@@ -329,34 +323,42 @@ class MultibandDictionaryLearning:
         amplitudes,
         batch_size: int,
         n_steps: int | None = None,
+        batch_indices=None,
     ) -> jax.Array:
         """Decode straight from the global event-tuple representation
         (the codec's wire format). Events are routed per-event by global
-        atom index; the stream need not be in band-major order.
-        ``n_steps`` is accepted for backward compatibility and ignored."""
+        atom index, so the stream need not be in band-major order.
+
+        Batch attribution: pass ``batch_indices`` (per-event batch row)
+        for arbitrary streams; without it the canonical interleaving is
+        assumed (event i belongs to batch row ``i % batch_size`` — the
+        layout ``flattened_event_tuples`` emits), which stays correct
+        under any permutation of a ``batch_size == 1`` stream but not of
+        a batched one. ``n_steps`` accepted for compat and ignored."""
         n_events = int(global_indices.shape[0])
-        pad = (-n_events) % batch_size
-        if pad:
-            global_indices = jnp.concatenate(
-                [global_indices, jnp.zeros((pad,), global_indices.dtype)]
-            )
-            unit_times = jnp.concatenate(
-                [unit_times, jnp.zeros((pad,), unit_times.dtype)]
-            )
-            amplitudes = jnp.concatenate(
-                [amplitudes, jnp.zeros((pad,), amplitudes.dtype)]
-            )
-        rows = (n_events + pad) // batch_size
+        if batch_indices is None:
+            batch_indices = jnp.arange(n_events, dtype=jnp.int32) % batch_size
+        else:
+            batch_indices = jnp.asarray(batch_indices, jnp.int32)
+        # densify to (n_events, batch): each event contributes only to its
+        # own batch row (amplitude masked to zero elsewhere) — exact batch
+        # routing for arbitrary streams with static shapes
+        mask = (
+            batch_indices[:, None] == jnp.arange(batch_size)[None, :]
+        )
+        gi = jnp.broadcast_to(global_indices[:, None], (n_events, batch_size))
+        ut = jnp.broadcast_to(unit_times[:, None], (n_events, batch_size))
+        amp = amplitudes[:, None] * mask
         local = self.hierarchical_event_tuples(
-            global_indices, unit_times, amplitudes
+            gi.reshape(-1), ut.reshape(-1), amp.reshape(-1)
         )
         output = {}
         for size, ev in local.items():
             output[size] = self.bands[size].decode(
                 SparseCodeResult(
-                    ev.atom_indices.reshape(rows, batch_size),
-                    ev.positions.reshape(rows, batch_size),
-                    ev.values.reshape(rows, batch_size),
+                    ev.atom_indices.reshape(n_events, batch_size),
+                    ev.positions.reshape(n_events, batch_size),
+                    ev.values.reshape(n_events, batch_size),
                     None,
                 ),
                 batch_size,

@@ -65,26 +65,36 @@ class CheckpointManager:
         self._gc()
         return True
 
+    # a .tmp older than this is a crash leftover; a younger one may be a
+    # concurrent writer's in-flight atomic save (never touch those —
+    # a read-only latest() must not be able to crash a training run)
+    STALE_TMP_S = 600.0
+
     def _list(self):
-        """Intact checkpoint files only — a leftover ``.tmp`` from a
-        crashed save must neither count toward ``keep`` nor be returned
-        by ``latest()``."""
-        names = os.listdir(self.directory)
-        for stale in names:
-            if stale.startswith("ckpt_") and stale.endswith(".tmp"):
-                try:
-                    os.remove(os.path.join(self.directory, stale))
-                except OSError:
-                    pass
+        """Intact checkpoint files only — ``.tmp`` files never count
+        toward ``keep`` and are never returned by ``latest()``."""
         return sorted(
             f
-            for f in names
+            for f in os.listdir(self.directory)
             if f.startswith("ckpt_") and f.endswith(".pkl")
         )
 
     def _gc(self):
+        import time as _time
+
         for old in self._list()[: -self.keep]:
             os.remove(os.path.join(self.directory, old))
+        # clean crash leftovers, but only ones old enough that no live
+        # writer can still be mid-save on them
+        now = _time.time()
+        for name in os.listdir(self.directory):
+            if name.startswith("ckpt_") and name.endswith(".tmp"):
+                path = os.path.join(self.directory, name)
+                try:
+                    if now - os.path.getmtime(path) > self.STALE_TMP_S:
+                        os.remove(path)
+                except OSError:
+                    pass
 
     def latest(self) -> Optional[dict]:
         """Newest loadable checkpoint, falling back past corrupt files."""

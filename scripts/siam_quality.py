@@ -193,8 +193,13 @@ def main():
     float(loss)
 
     metrics = {
-        "config": "n_samples 2^17, 32 events, batch %d, STFT 2048/256, attn_floor %.3f"
-        % (args.batch_size, args.attn_floor),
+        "config": (
+            f"n_samples 2^{int(np.log2(n_samples))}, {n_events} events, "
+            f"batch {args.batch_size}, STFT {window}/{step_sz}, "
+            f"attn_floor {args.attn_floor:.3f}, "
+            f"corpus {'dense' if args.dense else 'sparse'}, "
+            f"fade {'off' if args.no_fade else 'on'}"
+        ),
         "init_s": round(init_s, 1),
         "first_step_s": round(compile_s, 1),
         "eval": [],
@@ -263,7 +268,17 @@ def main():
                 json.dump({**metrics, "losses": losses}, f, indent=1)
         ckpt.maybe_save(i, params, opt_state)
 
-    ckpt.maybe_save(0, params, opt_state) if args.iterations == 0 else None
+    # always checkpoint the final params (the loop's periodic save only
+    # fires on multiples of `every`)
+    from mptpu.train.checkpoint import save_checkpoint
+
+    final_step = max(args.iterations, step0)
+    save_checkpoint(
+        os.path.join(args.out, f"ckpt_{final_step:09d}.pkl"),
+        params,
+        opt_state,
+        final_step,
+    )
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump({**metrics, "losses": losses}, f, indent=1)
     print("done", flush=True)

@@ -150,9 +150,12 @@ def main():
         ckpt.maybe_save(i, params, opt_state)
 
     elapsed = time.perf_counter() - t0
+    trend = (
+        f", loss {losses[0]:.1f} -> {losses[-1]:.1f}" if losses else ""
+    )
     print(
         f"done: {args.iterations} iters in {elapsed:.1f}s "
-        f"({args.iterations/elapsed:.2f} steps/s), loss {losses[0]:.1f} -> {losses[-1]:.1f}",
+        f"({args.iterations/max(elapsed, 1e-9):.2f} steps/s){trend}",
         flush=True,
     )
     if server:

@@ -50,10 +50,18 @@ def test_checkpoint_manager_survives_stale_tmp_files(tmp_path):
 
     latest = mgr.latest()
     assert latest is not None and latest["step"] == 2
-    assert not stale.exists()  # stale tmp is cleaned up
+    # a read-only latest() must NOT delete the tmp — it may be a
+    # concurrent writer's in-flight atomic save
+    assert stale.exists()
+
+    # ...but gc removes it once it is old enough to be a crash leftover
+    old_time = os.path.getmtime(str(stale)) - 3600
+    os.utime(str(stale), (old_time, old_time))
+    mgr.maybe_save(3, params)
+    assert not stale.exists()
 
     # a corrupt final .pkl falls back to the newest intact checkpoint
     bad = tmp_path / "ckpt_000000009.pkl"
     bad.write_bytes(b"garbage")
     latest = mgr.latest()
-    assert latest is not None and latest["step"] == 2
+    assert latest is not None and latest["step"] == 3

@@ -187,3 +187,31 @@ class TestMultiband:
         # a filtered (truncated) stream also decodes without error
         partial = model.decode_global(gi[:3], ut[:3], amp[:3], batch_size=1)
         assert partial.shape == canonical.shape
+
+    def test_decode_global_batched_permutation_with_batch_indices(self):
+        """Batched wire streams: explicit per-event batch indices keep
+        batch attribution exact under permutation (code-review r2)."""
+        n_samples = 1024
+        specs = [
+            BandSpec(size, n_atoms=8, atom_size=16, signal_samples=n_samples,
+                     is_lowest_band=(size == 512))
+            for size in [512, 1024]
+        ]
+        model = MultibandDictionaryLearning(specs, n_samples)
+        sig = jnp.asarray(
+            np.random.default_rng(2).standard_normal((2, 1, n_samples)).astype(np.float32)
+        )
+        enc = model.encode(sig, steps=4)
+        gi, ut, amp = model.flattened_event_tuples(enc)
+        n = gi.shape[0]
+        canonical_bi = jnp.arange(n, dtype=jnp.int32) % 2
+        canonical = model.decode_global(gi, ut, amp, batch_size=2)
+
+        perm = np.random.default_rng(5).permutation(n)
+        shuffled = model.decode_global(
+            gi[perm], ut[perm], amp[perm], batch_size=2,
+            batch_indices=canonical_bi[perm],
+        )
+        np.testing.assert_allclose(
+            np.asarray(shuffled), np.asarray(canonical), rtol=1e-4, atol=1e-5
+        )

@@ -76,6 +76,9 @@ def main():
                              "tracebacks and exit instead of hanging")
     parser.add_argument("--tiny", action="store_true",
                         help="small config for smoke testing the script flow")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume params/opt_state/step from the newest "
+                             "checkpoint in --out (skips the timing phases)")
     parser.add_argument("--dense", action="store_true",
                         help="train on the MusicNet-density synthetic corpus")
     parser.add_argument("--no-fade", action="store_true",
@@ -136,6 +139,17 @@ def main():
     opt = optimizer(lr=1e-4, b1=0.9, b2=0.999)
     opt_state = opt.init(params)
     ckpt = CheckpointManager(args.out, every=250)
+    resume_step = 0
+    if args.resume:
+        payload = ckpt.latest()
+        if payload is not None:
+            params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+            if payload["opt_state"] is not None:
+                opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, payload["opt_state"]
+                )
+            resume_step = payload["step"]
+            print(f"resumed from step {resume_step}", flush=True)
     iterative = make_iterative_fn(model)
 
     # the reference fades the second half of the target before the loss
@@ -205,34 +219,42 @@ def main():
         "eval": [],
     }
 
+    timing_steps = 0 if args.resume else args.timing_steps
+
     # ---- honest step timing: per-step loss transfer over timing_steps
     t0 = time.perf_counter()
     acc = 0.0
-    for i in range(args.timing_steps):
+    for i in range(timing_steps):
         params, opt_state, loss = train_step(
             params, opt_state, next(stream), jax.random.fold_in(key, 100 + i)
         )
         acc += float(loss)  # device->host every step
-    synced = (time.perf_counter() - t0) / args.timing_steps
-    print(f"per-step-synced: {synced*1e3:.1f} ms/step "
-          f"({1/synced:.2f} steps/s, mean loss {acc/args.timing_steps:.1f})",
-          flush=True)
+    if timing_steps:
+        synced = (time.perf_counter() - t0) / timing_steps
+        print(f"per-step-synced: {synced*1e3:.1f} ms/step "
+              f"({1/synced:.2f} steps/s, mean loss {acc/timing_steps:.1f})",
+              flush=True)
+    else:
+        synced = 0.0
 
     # ---- pipelined timing: transfer once at the end
     t0 = time.perf_counter()
-    for i in range(args.timing_steps):
+    for i in range(timing_steps):
         params, opt_state, loss = train_step(
             params, opt_state, next(stream), jax.random.fold_in(key, 300 + i)
         )
-    acc = float(loss)
-    pipelined = (time.perf_counter() - t0) / args.timing_steps
-    print(f"pipelined: {pipelined*1e3:.1f} ms/step ({1/pipelined:.2f} steps/s)",
-          flush=True)
+    if timing_steps:
+        acc = float(loss)
+        pipelined = (time.perf_counter() - t0) / timing_steps
+        print(f"pipelined: {pipelined*1e3:.1f} ms/step "
+              f"({1/pipelined:.2f} steps/s)", flush=True)
+    else:
+        pipelined = 0.0
     metrics["ms_per_step_synced"] = round(synced * 1e3, 1)
     metrics["ms_per_step_pipelined"] = round(pipelined * 1e3, 1)
 
     # ---- training to quality, periodic held-out eval
-    step0 = 2 + 2 * args.timing_steps
+    step0 = max(2 + 2 * timing_steps, resume_step + 1)
     losses = []
     collapse_guard = {"zero_streak": 0}
     for i in range(step0, args.iterations):

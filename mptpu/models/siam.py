@@ -29,7 +29,7 @@ from jax import lax
 import flax.linen as nn
 
 from ..ops.stft import stft
-from ..ops.ste import sparse_softmax
+from ..ops.ste import sparse_softmax, leaky_relu_ste
 from ..sparse.topk import sparsify, sparsify_vectors
 from ..nn.anticausal import AntiCausalAnalysis
 from ..nn.multihead import MultiHeadTransform
@@ -73,6 +73,12 @@ class SIAMModel(nn.Module):
     # survive the all-negative-attention (dead ReLU) cold start; 0.0 keeps
     # exact reference semantics (relu attn can collapse to silence)
     attn_floor: float = 0.0
+    # straight-through leaky backward for the attention relu: forward is
+    # bit-identical to the reference; the backward slope keeps gradients
+    # alive through the dead-relu region so the energy-removal loss's
+    # silence local optimum is escapable (see BENCHMARKS.md SIAM notes).
+    # 0.0 = plain relu gradient (exact reference backward)
+    attn_leak: float = 0.0
 
     @property
     def n_frames(self) -> int:
@@ -131,9 +137,12 @@ class SIAMModel(nn.Module):
 
         ev_in = jnp.transpose(encoded, (0, 2, 1))
         event_vecs = self.to_event_vectors(ev_in)  # (batch, time, context)
-        attn = jax.nn.relu(
-            self.to_event_switch(ev_in)
-        ).reshape(batch_size, 1, -1)
+        switch = self.to_event_switch(ev_in)
+        if self.attn_leak:
+            attn = leaky_relu_ste(switch, self.attn_leak)
+        else:
+            attn = jax.nn.relu(switch)
+        attn = attn.reshape(batch_size, 1, -1)
 
         frame_count = attn.shape[-1]
         half = frame_count // 2

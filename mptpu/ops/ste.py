@@ -19,6 +19,21 @@ def straight_through(forward: jax.Array, backward: jax.Array) -> jax.Array:
     return backward + lax.stop_gradient(forward - backward)
 
 
+def leaky_relu_ste(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    """Forward = exact ``relu(x)``; backward = leaky-relu gradient.
+
+    The dead-relu escape hatch for amplitude gates: the SIAM encoder's
+    event switch (``iterativedecomposition.py:207``) is a relu whose
+    gradient dies when the energy-removal loss pushes every
+    pre-activation negative in the cold start — the silence-collapse
+    local optimum (BENCHMARKS.md SIAM notes). This keeps the forward
+    bit-identical to the reference while the straight-through backward
+    lets the optimizer walk back out of the dead region."""
+    return straight_through(
+        jax.nn.relu(x), jax.nn.leaky_relu(x, negative_slope)
+    )
+
+
 def _one_hot_argmax(x: jax.Array, axis: int, values: jax.Array) -> jax.Array:
     """One-hot along ``axis`` at the argmax, filled with ``values``."""
     idx = jnp.argmax(x, axis=axis, keepdims=True)

@@ -68,6 +68,10 @@ def main():
     parser.add_argument("--eval-every", type=int, default=250)
     parser.add_argument("--timing-steps", type=int, default=100)
     parser.add_argument("--attn-floor", type=float, default=0.0)
+    parser.add_argument("--attn-leak", type=float, default=0.0,
+                        help="straight-through leaky backward slope for the "
+                             "attention relu (forward stays exact reference "
+                             "relu); escapes the silence local optimum")
     parser.add_argument("--out", type=str, default="trained_weights/siam_quality")
     parser.add_argument("--watchdog-s", type=int, default=14000)
     parser.add_argument("--stall-s", type=int, default=900,
@@ -105,6 +109,7 @@ def main():
         transform_step_size=step_sz,
         fft_resonance=True,
         attn_floor=args.attn_floor,
+        attn_leak=args.attn_leak,
     )
 
     audio_path = None
@@ -189,8 +194,8 @@ def main():
 
     @jax.jit
     def reconstruct(params, audio, key):
-        channels, _, _, _ = iterative(params, audio, key)
-        return jnp.sum(channels, axis=1, keepdims=True)
+        channels, _, schedules, _ = iterative(params, audio, key)
+        return jnp.sum(channels, axis=1, keepdims=True), jnp.max(schedules)
 
     stream = iter(train_stream)
 
@@ -257,7 +262,10 @@ def main():
     step0 = max(2 + 2 * timing_steps, resume_step + 1)
     losses = []
     collapse_guard = {"zero_streak": 0}
+    run_start = time.perf_counter()
+    last_i = step0
     for i in range(step0, args.iterations):
+        last_i = i
         params, opt_state, loss = train_step(
             params, opt_state, next(stream), jax.random.fold_in(key, i)
         )
@@ -275,7 +283,7 @@ def main():
             else:
                 collapse_guard["zero_streak"] = 0
         if i % args.eval_every == 0:
-            recon = reconstruct(params, holdout, jax.random.PRNGKey(7))
+            recon, sched_max = reconstruct(params, holdout, jax.random.PRNGKey(7))
             snr, lsd = spectral_metrics(holdout, recon, window, step_sz)
             rms = float(jnp.sqrt(jnp.mean(recon**2)))
             entry = {
@@ -283,18 +291,28 @@ def main():
                 "holdout_snr_db": round(float(snr), 3),
                 "holdout_lsd_db": round(float(lsd), 3),
                 "recon_rms": round(rms, 6),
+                # direct collapse telemetry: 0.0 == every event silent
+                # (the loss alone can sit at a small negative value from
+                # the mag_epsilon smoothing even when fully collapsed)
+                "sched_max": round(float(sched_max), 6),
             }
             metrics["eval"].append(entry)
             print("eval", json.dumps(entry), flush=True)
             with open(os.path.join(args.out, "metrics.json"), "w") as f:
                 json.dump({**metrics, "losses": losses}, f, indent=1)
         ckpt.maybe_save(i, params, opt_state)
+        if time.perf_counter() - run_start > args.watchdog_s:
+            print("time budget reached — exiting cleanly", flush=True)
+            break
+        if os.path.exists(os.path.join(args.out, "STOP")):
+            print("STOP file found — exiting cleanly", flush=True)
+            break
 
     # always checkpoint the final params (the loop's periodic save only
     # fires on multiples of `every`)
     from mptpu.train.checkpoint import save_checkpoint
 
-    final_step = max(args.iterations, step0)
+    final_step = max(last_i, step0)
     save_checkpoint(
         os.path.join(args.out, f"ckpt_{final_step:09d}.pkl"),
         params,

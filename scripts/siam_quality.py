@@ -169,6 +169,10 @@ def main():
 
     def loss_fn(params, target, key):
         channels, vecs, schedules, _ = iterative(params, target, key)
+        # NOTE mag_epsilon smooths |z| but its gradient at exactly-silent
+        # channels is still zero (sqrt(x^2+eps^2)' = 0 at 0) — escaping
+        # the silence optimum needs attn_floor (+ attn_leak), see
+        # tests/test_models.py::test_silence_collapse_escape_needs_floor_and_leak
         loss = iterative_loss(
             target * fade,
             channels,

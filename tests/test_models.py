@@ -147,6 +147,61 @@ class TestSIAM:
         assert np.isfinite(float(loss))
         assert np.isfinite(float(optax.global_norm(grads)))
 
+    def test_silence_collapse_escape_needs_floor_and_leak(self):
+        """Silence-collapse anatomy (BENCHMARKS.md SIAM notes): with every
+        event-switch pre-activation negative the channels are EXACTLY
+        silent, and the collapse is doubly terminal —
+
+        - the smoothed magnitude sqrt(|z|^2 + eps^2) has zero derivative
+          at z = 0, so silent channels get no loss gradient at all
+          (attn_leak alone cannot help);
+        - the relu backward is zero in the dead region, so even a
+          non-silent channel's gradient cannot reach the switch
+          (attn_floor alone cannot help).
+
+        Only the combination revives the switch: the floor makes the
+        channel (and thus the loss gradient) nonzero, and the
+        straight-through leaky backward carries it through the relu."""
+        import flax
+        from mptpu.models.siam import SIAMModel, siam_transform
+        from mptpu.losses import iterative_loss
+
+        def switch_grad(attn_floor, attn_leak):
+            model = SIAMModel(
+                n_samples=2**11, context_dim=8, in_channels=257,
+                hidden_channels=16, n_events=2,
+                transform_window_size=512, transform_step_size=256,
+                fft_resonance=True, attn_floor=attn_floor, attn_leak=attn_leak,
+            )
+            audio = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 2**11)) * 0.1
+            params = model.init(KEY, audio, KEY)
+            # force the dead-relu state: large negative switch bias
+            flat = flax.traverse_util.flatten_dict(params)
+            for path in flat:
+                if "to_event_switch" in path and path[-1] == "bias":
+                    flat[path] = flat[path] - 10.0
+            params = flax.traverse_util.unflatten_dict(flat)
+
+            def loss_fn(p):
+                channels, _, _ = model.apply(p, audio, KEY)
+                return iterative_loss(
+                    audio, channels,
+                    lambda x: siam_transform(x, 512, 256, mag_epsilon=1e-6),
+                )
+
+            grads = jax.grad(loss_fn)(params)
+            gflat = flax.traverse_util.flatten_dict(grads)
+            return sum(
+                float(jnp.sum(jnp.abs(v)))
+                for path, v in gflat.items()
+                if "to_event_switch" in path
+            )
+
+        assert switch_grad(0.0, 0.0) == 0.0    # reference semantics: terminal
+        assert switch_grad(0.0, 0.01) == 0.0   # leak alone: channel silent
+        assert switch_grad(0.005, 0.0) == 0.0  # floor alone: relu dead
+        assert switch_grad(0.005, 0.01) > 0.0  # both: gradient alive
+
 
 class TestStreaming:
     def test_streaming_encode_tiny(self):

@@ -84,14 +84,24 @@ def ensure_demo_dataset(
     regenerated (not silently reused) when the other is requested."""
     os.makedirs(directory, exist_ok=True)
     prefix = "synthetic_dense_" if dense else "synthetic_"
-    existing = [
-        f
-        for f in os.listdir(directory)
-        if f.startswith(prefix)
-        and f.endswith(".wav")
-        and (dense or not f.startswith("synthetic_dense_"))
-    ]
+
+    def is_kind(f: str, want_dense: bool) -> bool:
+        if not (f.startswith("synthetic_") and f.endswith(".wav")):
+            return False
+        return f.startswith("synthetic_dense_") == want_dense
+
+    names = os.listdir(directory)
+    existing = [f for f in names if is_kind(f, dense)]
     if not existing:
+        # remove the OTHER kind's synthetic files first: every consumer
+        # streams the directory with '*.wav', so leaving them would
+        # silently train on a mixed-density corpus
+        for stale in names:
+            if is_kind(stale, not dense):
+                try:
+                    os.remove(os.path.join(directory, stale))
+                except OSError:
+                    pass
         n = int(seconds * samplerate)
         n_events = int(seconds * 8) if dense else 16
         for i in range(n_files):

@@ -112,14 +112,25 @@ class SongSplatModel(nn.Module):
         return idx, mask
 
     def __call__(self, start_frame, key: jax.Array):
-        # clamp into the valid range so the range query and the logit
-        # window stay aligned (dynamic_slice clamps silently otherwise;
-        # the reference raises on too-early segments, songsplat.py:651)
-        start_frame = jnp.clip(
-            jnp.asarray(start_frame),
-            self.segment_frames,
-            self.total_frames - self.segment_frames,
-        )
+        lo = self.segment_frames
+        hi = self.total_frames - self.segment_frames
+        if hi < lo:
+            raise ValueError(
+                f"total_samples must cover at least two segments "
+                f"(total_frames {self.total_frames} < 2 x segment_frames "
+                f"{self.segment_frames})"
+            )
+        if isinstance(start_frame, (int, np.integer)) and not (
+            lo <= start_frame <= hi
+        ):
+            # concrete misuse gets the reference's error (songsplat.py:651);
+            # traced values are clamped below (jit-safe)
+            raise ValueError(
+                f"start_frame {start_frame} outside valid range [{lo}, {hi}]"
+            )
+        # clamp so the range query and the logit window stay aligned
+        # (dynamic_slice clamps silently otherwise)
+        start_frame = jnp.clip(jnp.asarray(start_frame), lo, hi)
         idx, mask = self.range_query(start_frame)
         vecs = self.events[idx]  # (K, latent)
 

@@ -52,11 +52,16 @@ def _jit_sparse_code(signal, d, n_steps, approx):
         # fully-fused Pallas step kernel adds another ~2.4x when the
         # band/atom shapes satisfy its alignment gate (sparse_code_fast
         # checks the gate itself and falls back to block_argmax)
+        atom_size = d.shape[-1]
+        # shrink the block only when the fused gate can actually use it
+        # (atom_size >= 128); otherwise keep the default 512 so the
+        # block_argmax fallback's max table stays small
+        block = min(512, atom_size) if atom_size >= 128 else 512
         return sparse_code_fast(
             signal,
             d,
             n_steps=n_steps,
-            block=min(512, d.shape[-1]),
+            block=block,
             fused=jax.default_backend() != "cpu",
             block_argmax=True,
         )
@@ -337,28 +342,47 @@ class MultibandDictionaryLearning:
         a batched one. ``n_steps`` accepted for compat and ignored."""
         n_events = int(global_indices.shape[0])
         if batch_indices is None:
-            batch_indices = jnp.arange(n_events, dtype=jnp.int32) % batch_size
+            # canonical layout: event i belongs to batch row i % batch —
+            # decode via a plain reshape (no batch_size x densify cost)
+            pad = (-n_events) % batch_size
+            if pad:
+                global_indices = jnp.concatenate(
+                    [global_indices, jnp.zeros((pad,), global_indices.dtype)]
+                )
+                unit_times = jnp.concatenate(
+                    [unit_times, jnp.zeros((pad,), unit_times.dtype)]
+                )
+                amplitudes = jnp.concatenate(
+                    [amplitudes, jnp.zeros((pad,), amplitudes.dtype)]
+                )
+            rows = (n_events + pad) // batch_size
+            gi_m = global_indices.reshape(rows, batch_size)
+            ut_m = unit_times.reshape(rows, batch_size)
+            amp_m = amplitudes.reshape(rows, batch_size)
         else:
+            # densify to (n_events, batch): each event contributes only to
+            # its own batch row (amplitude masked elsewhere) — exact batch
+            # routing for arbitrary streams with static shapes
             batch_indices = jnp.asarray(batch_indices, jnp.int32)
-        # densify to (n_events, batch): each event contributes only to its
-        # own batch row (amplitude masked to zero elsewhere) — exact batch
-        # routing for arbitrary streams with static shapes
-        mask = (
-            batch_indices[:, None] == jnp.arange(batch_size)[None, :]
-        )
-        gi = jnp.broadcast_to(global_indices[:, None], (n_events, batch_size))
-        ut = jnp.broadcast_to(unit_times[:, None], (n_events, batch_size))
-        amp = amplitudes[:, None] * mask
+            mask = (
+                batch_indices[:, None] == jnp.arange(batch_size)[None, :]
+            )
+            gi_m = jnp.broadcast_to(
+                global_indices[:, None], (n_events, batch_size)
+            )
+            ut_m = jnp.broadcast_to(unit_times[:, None], (n_events, batch_size))
+            amp_m = amplitudes[:, None] * mask
+        rows = gi_m.shape[0]
         local = self.hierarchical_event_tuples(
-            gi.reshape(-1), ut.reshape(-1), amp.reshape(-1)
+            gi_m.reshape(-1), ut_m.reshape(-1), amp_m.reshape(-1)
         )
         output = {}
         for size, ev in local.items():
             output[size] = self.bands[size].decode(
                 SparseCodeResult(
-                    ev.atom_indices.reshape(n_events, batch_size),
-                    ev.positions.reshape(n_events, batch_size),
-                    ev.values.reshape(n_events, batch_size),
+                    ev.atom_indices.reshape(rows, batch_size),
+                    ev.positions.reshape(rows, batch_size),
+                    ev.values.reshape(rows, batch_size),
                     None,
                 ),
                 batch_size,

@@ -67,8 +67,10 @@ class CheckpointManager:
 
     # a .tmp older than this is a crash leftover; a younger one may be a
     # concurrent writer's in-flight atomic save (never touch those —
-    # a read-only latest() must not be able to crash a training run)
-    STALE_TMP_S = 600.0
+    # a read-only latest() must not be able to crash a training run).
+    # One hour: no realistic save takes that long, and even a wedged
+    # remote-device host transfer times out well before it.
+    STALE_TMP_S = 3600.0
 
     def _list(self):
         """Intact checkpoint files only — ``.tmp`` files never count

@@ -203,23 +203,28 @@ def main():
 
     stream = iter(train_stream)
 
-    # ---- compile + 2 warmup steps
-    t0 = time.perf_counter()
-    item = next(stream)
-    params, opt_state, loss = train_step(params, opt_state, item, key)
-    first_loss = float(loss)
-    compile_s = time.perf_counter() - t0
-    print(f"first step (incl compile) {compile_s:.1f}s loss {first_loss:.1f}", flush=True)
-    params, opt_state, loss = train_step(
-        params, opt_state, next(stream), jax.random.fold_in(key, 1)
-    )
-    float(loss)
+    # ---- compile + 2 warmup steps (skipped on resume: warmup would
+    # silently mutate the restored params before any recorded step)
+    compile_s = 0.0
+    if not args.resume:
+        t0 = time.perf_counter()
+        item = next(stream)
+        params, opt_state, loss = train_step(params, opt_state, item, key)
+        first_loss = float(loss)
+        compile_s = time.perf_counter() - t0
+        print(f"first step (incl compile) {compile_s:.1f}s loss {first_loss:.1f}",
+              flush=True)
+        params, opt_state, loss = train_step(
+            params, opt_state, next(stream), jax.random.fold_in(key, 1)
+        )
+        float(loss)
 
     metrics = {
         "config": (
             f"n_samples 2^{int(np.log2(n_samples))}, {n_events} events, "
             f"batch {args.batch_size}, STFT {window}/{step_sz}, "
             f"attn_floor {args.attn_floor:.3f}, "
+            f"attn_leak {args.attn_leak:.3f}, "
             f"corpus {'dense' if args.dense else 'sparse'}, "
             f"fade {'off' if args.no_fade else 'on'}"
         ),
@@ -227,6 +232,20 @@ def main():
         "first_step_s": round(compile_s, 1),
         "eval": [],
     }
+    prior_losses = []
+    if args.resume:
+        # preserve the original run's telemetry across resumes
+        try:
+            with open(os.path.join(args.out, "metrics.json")) as f:
+                prior = json.load(f)
+            metrics["eval"] = prior.get("eval", [])
+            prior_losses = prior.get("losses", [])
+            for k in ("first_step_s", "ms_per_step_synced",
+                      "ms_per_step_pipelined"):
+                if prior.get(k):
+                    metrics[k] = prior[k]
+        except (IOError, ValueError):
+            pass
 
     timing_steps = 0 if args.resume else args.timing_steps
 
@@ -259,8 +278,9 @@ def main():
               f"({1/pipelined:.2f} steps/s)", flush=True)
     else:
         pipelined = 0.0
-    metrics["ms_per_step_synced"] = round(synced * 1e3, 1)
-    metrics["ms_per_step_pipelined"] = round(pipelined * 1e3, 1)
+    if timing_steps:
+        metrics["ms_per_step_synced"] = round(synced * 1e3, 1)
+        metrics["ms_per_step_pipelined"] = round(pipelined * 1e3, 1)
 
     # ---- training to quality, periodic held-out eval
     step0 = max(2 + 2 * timing_steps, resume_step + 1)
@@ -303,7 +323,7 @@ def main():
             metrics["eval"].append(entry)
             print("eval", json.dumps(entry), flush=True)
             with open(os.path.join(args.out, "metrics.json"), "w") as f:
-                json.dump({**metrics, "losses": losses}, f, indent=1)
+                json.dump({**metrics, "losses": prior_losses + losses}, f, indent=1)
         ckpt.maybe_save(i, params, opt_state)
         if time.perf_counter() - run_start > args.watchdog_s:
             print("time budget reached — exiting cleanly", flush=True)
@@ -324,7 +344,7 @@ def main():
         final_step,
     )
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
-        json.dump({**metrics, "losses": losses}, f, indent=1)
+        json.dump({**metrics, "losses": prior_losses + losses}, f, indent=1)
     print("done", flush=True)
 
 

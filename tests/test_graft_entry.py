@@ -45,7 +45,9 @@ def test_checkpoint_manager_survives_stale_tmp_files(tmp_path):
     mgr.maybe_save(2, {"w": 2 * params["w"]})
 
     # a crashed save leaves a partial tmp that sorts after the good files
-    stale = tmp_path / "ckpt_000000003.pkl.tmp"
+    # (use a step the later maybe_save below will NOT write through, so
+    # the age-based gc branch — not the atomic rename — removes it)
+    stale = tmp_path / "ckpt_000000007.pkl.tmp"
     stale.write_bytes(b"partial")
 
     latest = mgr.latest()
@@ -54,14 +56,18 @@ def test_checkpoint_manager_survives_stale_tmp_files(tmp_path):
     # concurrent writer's in-flight atomic save
     assert stale.exists()
 
-    # ...but gc removes it once it is old enough to be a crash leftover
-    old_time = os.path.getmtime(str(stale)) - 3600
-    os.utime(str(stale), (old_time, old_time))
+    # a FRESH tmp also survives gc (could be an in-flight save) ...
     mgr.maybe_save(3, params)
+    assert stale.exists()
+
+    # ... but gc removes it once it is old enough to be a crash leftover
+    old_time = os.path.getmtime(str(stale)) - 7200
+    os.utime(str(stale), (old_time, old_time))
+    mgr.maybe_save(4, params)
     assert not stale.exists()
 
     # a corrupt final .pkl falls back to the newest intact checkpoint
     bad = tmp_path / "ckpt_000000009.pkl"
     bad.write_bytes(b"garbage")
     latest = mgr.latest()
-    assert latest is not None and latest["step"] == 3
+    assert latest is not None and latest["step"] == 4

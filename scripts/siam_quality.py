@@ -309,11 +309,21 @@ def main():
         if i % args.eval_every == 0:
             recon, sched_max = reconstruct(params, holdout, jax.random.PRNGKey(7))
             snr, lsd = spectral_metrics(holdout, recon, window, step_sz)
+            # the encoder's streaming mask confines events to the first
+            # half of the segment (full coverage comes from the
+            # half-overlap streaming walk), so first-half metrics are the
+            # honest single-segment codec quality
+            half = n_samples // 2
+            snr_h, lsd_h = spectral_metrics(
+                holdout[..., :half], recon[..., :half], window, step_sz
+            )
             rms = float(jnp.sqrt(jnp.mean(recon**2)))
             entry = {
                 "step": i,
                 "holdout_snr_db": round(float(snr), 3),
                 "holdout_lsd_db": round(float(lsd), 3),
+                "first_half_snr_db": round(float(snr_h), 3),
+                "first_half_lsd_db": round(float(lsd_h), 3),
                 "recon_rms": round(rms, 6),
                 # direct collapse telemetry: 0.0 == every event silent
                 # (the loss alone can sit at a small negative value from

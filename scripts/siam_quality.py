@@ -51,7 +51,8 @@ from mptpu.train import optimizer, CheckpointManager
 def spectral_metrics(target: jax.Array, recon: jax.Array, window: int, step: int):
     """Recon SNR (dB, time domain) + log-spectral distance (dB RMS)."""
     snr = 10.0 * jnp.log10(
-        jnp.sum(target**2) / jnp.maximum(jnp.sum((target - recon) ** 2), 1e-12)
+        jnp.maximum(jnp.sum(target**2), 1e-12)
+        / jnp.maximum(jnp.sum((target - recon) ** 2), 1e-12)
     )
     ts = siam_transform(target, window, step)
     rs = siam_transform(recon, window, step)

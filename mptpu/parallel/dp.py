@@ -46,7 +46,8 @@ def make_data_parallel_step(
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
         updates, new_opt_state = opt.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        ok = jnp.isfinite(loss)
+        # a finite loss with NaN grads silently poisons params — guard both
+        ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
         params_out = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), new_params, params
         )

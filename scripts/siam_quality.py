@@ -186,9 +186,16 @@ def main():
         (loss, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, target, key
         )
+        gnorm = optax.global_norm(grads)
+        # clip explosions (the STE leak can transiently spike gradients)
+        scale = jnp.minimum(1.0, 5e4 / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, new_opt = opt.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        ok = jnp.isfinite(loss)
+        # the reference guards only the loss (iterativedecomposition.py:
+        # 535-540); a step with finite loss but NaN GRADS silently
+        # poisons the params — guard both
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         params_out = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_params, params
         )

@@ -153,7 +153,8 @@ def train_and_monitor(
         )(params, target, key)
         updates, new_opt = opt.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        ok = jnp.isfinite(loss)
+        # a finite loss with NaN grads silently poisons params — guard both
+        ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
         params_out = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_params, params
         )

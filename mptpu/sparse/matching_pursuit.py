@@ -179,10 +179,20 @@ def dictionary_learning_step(
     n_atoms, _, atom_size = d3.shape
 
     if approx is None and not use_fft and channels == 1:
-        # numerically identical fast path (see fast_mp.py)
+        # numerically identical fast path (see fast_mp.py); on TPU the
+        # fused kernel engages when shapes pass its gate, else block_argmax
         from .fast_mp import sparse_code_fast
 
-        coded = sparse_code_fast(signal, d3[:, 0, :], n_steps=n_steps)
+        atom_sz = d3.shape[-1]
+        block = min(512, atom_sz) if atom_sz >= 128 else 512
+        coded = sparse_code_fast(
+            signal,
+            d3[:, 0, :],
+            n_steps=n_steps,
+            block=block,
+            fused=jax.default_backend() != "cpu",
+            block_argmax=jax.default_backend() != "cpu",
+        )
     else:
         coded = sparse_code(
             signal, d3, n_steps=n_steps, approx=approx, use_fft=use_fft

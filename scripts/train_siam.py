@@ -47,6 +47,7 @@ def train_and_monitor(
     audio_path: str | None = None,
     data_parallel: bool = False,
     attn_floor: float = 0.0,
+    attn_leak: float = 0.0,
     log_every: int = 10,
     seed: int | None = None,
     selection_leak: float = 0.0,
@@ -76,6 +77,7 @@ def train_and_monitor(
         transform_step_size=step_sz,
         fft_resonance=True,
         attn_floor=attn_floor,
+        attn_leak=attn_leak,
     )
 
     stream = AudioIterator(
@@ -131,8 +133,9 @@ def train_and_monitor(
 
     def loss_fn(params, target, key):
         channels, vecs, schedules, _ = iterative(params, target, key)
-        # smoothed magnitude: a silence-collapsed generator still gets a
-        # restoring gradient (|z| is 0/0-dead at exactly zero)
+        # NOTE mag_epsilon smooths |z| but its gradient at exactly-silent
+        # channels is still zero; escaping the silence optimum needs
+        # --attn-floor + --attn-leak together (see BENCHMARKS.md)
         loss = iterative_loss(
             target * fade, channels,
             lambda x: siam_transform(x, window, step_sz, mag_epsilon=1e-6),
@@ -218,6 +221,9 @@ if __name__ == "__main__":
                         help="shard the batch over all devices")
     parser.add_argument("--attn-floor", type=float, default=0.0,
                         help="amplitude floor keeping event gradients alive")
+    parser.add_argument("--attn-leak", type=float, default=0.0,
+                        help="straight-through leaky backward for the attention\n"
+                             "relu (forward stays exact reference relu)")
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--selection-leak", type=float, default=0.0,
                         help="leaky-relu slope for relu item selections; keeps\n"
@@ -237,6 +243,7 @@ if __name__ == "__main__":
         audio_path=args.audio_path,
         data_parallel=args.data_parallel,
         attn_floor=args.attn_floor,
+        attn_leak=args.attn_leak,
         log_every=args.log_every,
         seed=args.seed,
         selection_leak=args.selection_leak,

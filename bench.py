@@ -96,9 +96,14 @@ def main():
     elapsed = (time.perf_counter() - start) / runs
     tpu_atoms_per_sec = (n_steps * batch) / elapsed
 
-    # CPU reference baseline (single batch item to keep it quick, then
-    # scale: the numpy loop is batch-linear)
-    cpu_aps = cpu_reference_mp(sig_np[:1], d_np, n_steps=10)
+    # CPU reference baseline, measured (not extrapolated): the numpy loop
+    # is batch-ANTI-linear on this host (measured aps: 1.56 @ batch 1,
+    # 0.59 @ batch 4, 0.22 @ batch 8 — the f64 FFT intermediates blow the
+    # cache), so batch 1 is the CPU's BEST operating point and using it as
+    # the denominator is conservative. Best-of-2 tames host-load noise.
+    cpu_aps = max(
+        cpu_reference_mp(sig_np[:1], d_np, n_steps=10) for _ in range(2)
+    )
 
     result = {
         "metric": "mp_atoms_per_sec_per_chip",
@@ -106,6 +111,10 @@ def main():
         "unit": "atoms/sec/chip (512 atoms x 512 taps, 16k samples, 100 steps, batch 32)",
         "vs_baseline": round(tpu_atoms_per_sec / cpu_aps, 2),
         "compile_s": round(compile_s, 1),
+        "cpu_ref_aps": round(cpu_aps, 3),
+        "cpu_ref_note": "numpy greedy loop, batch 1 x 10 steps, best of 2 "
+        "(the CPU's best measured operating point; CPU aps FALLS with "
+        "batch, so this denominator favors the baseline)",
     }
     print(json.dumps(result))
 

@@ -73,6 +73,7 @@ def ensure_demo_dataset(
     seconds: float = 12.0,
     samplerate: int = 22050,
     dense: bool = False,
+    seed_offset: int = 0,
 ) -> str:
     """Write a small synthetic WAV corpus if the directory is empty.
 
@@ -108,7 +109,11 @@ def ensure_demo_dataset(
             write_wav(
                 os.path.join(directory, f"{prefix}{i}.wav"),
                 synthetic_audio(
-                    n, samplerate, n_events=n_events, seed=i, sustained=dense
+                    n,
+                    samplerate,
+                    n_events=n_events,
+                    seed=seed_offset + i,
+                    sustained=dense,
                 ),
                 samplerate,
             )

@@ -129,10 +129,14 @@ class DecayLoss:
             spec[:, :, :, None, :], self.decays[:, :, None, :, :]
         )
         smeared = smeared.reshape(batch, -1, self.n_frames)
-        # trailing moving average (left-padded avg pool, stride 1)
+        # trailing moving average (left-padded avg pool, stride 1):
+        # pooled[i] = mean(smeared[i-k .. i-1]) — the window EXCLUDES the
+        # current frame, matching F.avg_pool1d(F.pad(x, [k, 0]), k, 1)
+        # (reference spiking.py:160-161)
         k = self.pool
         padded = jnp.pad(smeared, ((0, 0), (0, 0), (k, 0)))
         csum = jnp.cumsum(padded, axis=-1)
+        csum = jnp.pad(csum, ((0, 0), (0, 0), (1, 0)))  # csum[j] = sum of first j
         pooled = (csum[..., k:] - csum[..., :-k]) / k
         pooled = pooled[..., : self.n_frames]
         return jax.nn.relu(smeared - pooled)

@@ -303,26 +303,18 @@ class Reservoir:
         )
 
 
-def streaming_encode(
-    model: SIAMModel,
-    params,
-    audio: jax.Array,
-    key: jax.Array,
-    return_event_vectors: bool = False,
-):
-    """Half-overlap streaming window walk over arbitrary-length audio
-    (reference ``streaming``, ``iterativedecomposition.py:275-319``).
+def make_streaming_fn(model: SIAMModel):
+    """Build a reusable streaming encoder with the per-window program
+    jitted ONCE (periodic evals would otherwise re-trace every call).
 
-    Host loop: each window runs the jitted iterative program; residual
-    spectrogram is written back so later windows see earlier removals.
+    Returns ``stream(params, audio, key, return_event_vectors=False)``
+    implementing the half-overlap streaming window walk over
+    arbitrary-length audio (reference ``streaming``,
+    ``iterativedecomposition.py:275-319``).
     """
-    samps = audio.shape[-1]
     window_size = model.n_samples
-    spec = model.transform(audio)
-    time = spec.shape[-1]
     frame_window = model.n_frames
     frame_step = frame_window // 2
-
     _scan_fn = make_iterative_fn(model)
 
     # device-resident window walk (VERDICT r1 item 8): the residual
@@ -346,30 +338,57 @@ def streaming_encode(
         )
         return spec, segments, channels, vecs, schedules
 
-    segments = jnp.zeros((1, model.n_events, samps + window_size))
-    all_vecs, all_times, all_events = [], [], []
+    def stream(
+        params,
+        audio: jax.Array,
+        key: jax.Array,
+        return_event_vectors: bool = False,
+    ):
+        samps = audio.shape[-1]
+        spec = model.transform(audio)
+        time = spec.shape[-1]
 
-    step_count = 0
-    for i in range(0, time - frame_window, frame_step):
-        spec, segments, channels, vecs, schedules = window_step(
-            params,
-            spec,
-            segments,
-            i,
-            i * model.transform_step_size,
-            jax.random.fold_in(key, step_count),
+        segments = jnp.zeros((1, model.n_events, samps + window_size))
+        all_vecs, all_times, all_events = [], [], []
+
+        step_count = 0
+        for i in range(0, time - frame_window, frame_step):
+            spec, segments, channels, vecs, schedules = window_step(
+                params,
+                spec,
+                segments,
+                i,
+                i * model.transform_step_size,
+                jax.random.fold_in(key, step_count),
+            )
+            step_count += 1
+            all_vecs.append(vecs)
+            all_times.append(schedules)
+            all_events.append(channels)
+
+        final = jnp.sum(segments, axis=1, keepdims=True)[..., :samps]
+        if not return_event_vectors:
+            return final
+        return (
+            final,
+            jnp.concatenate(all_vecs, axis=1),
+            jnp.concatenate(all_times, axis=1),
+            jnp.concatenate(all_events, axis=1),
         )
-        step_count += 1
-        all_vecs.append(vecs)
-        all_times.append(schedules)
-        all_events.append(channels)
 
-    final = jnp.sum(segments, axis=1, keepdims=True)[..., :samps]
-    if not return_event_vectors:
-        return final
-    return (
-        final,
-        jnp.concatenate(all_vecs, axis=1),
-        jnp.concatenate(all_times, axis=1),
-        jnp.concatenate(all_events, axis=1),
+    return stream
+
+
+def streaming_encode(
+    model: SIAMModel,
+    params,
+    audio: jax.Array,
+    key: jax.Array,
+    return_event_vectors: bool = False,
+):
+    """One-shot convenience wrapper over :func:`make_streaming_fn` (use
+    the factory directly when calling repeatedly — it caches the jitted
+    per-window program)."""
+    return make_streaming_fn(model)(
+        params, audio, key, return_event_vectors=return_event_vectors
     )

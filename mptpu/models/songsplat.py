@@ -98,18 +98,25 @@ class SongSplatModel(nn.Module):
             n_layers=1,
         )
 
-    def range_query(self, start_frame) -> Tuple[jax.Array, jax.Array]:
+    def range_query(self, start_frame) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Indices (K,) of events whose hard time lands in the extended
         window [start_frame - segment_frames, start_frame +
-        segment_frames), plus their validity mask (reference
-        ``songsplat.py:652-662``)."""
+        segment_frames), their validity mask, and the TRUE in-range count
+        (reference ``songsplat.py:652-662``).
+
+        The fixed ``lax.top_k`` capacity (K = ``events_per_segment``)
+        silently drops in-range events beyond K in dense regions (lowest
+        indices win) — unlike the reference's dynamic event count. The
+        returned count lets callers detect/log the truncation; size the
+        cap at >= ``events_per_second * 3 * segment_seconds`` so ordinary
+        density never hits it."""
         hard = jnp.argmax(self.times, axis=-1)  # (total_events,)
         early = start_frame - self.segment_frames
         in_range = (hard >= early) & (hard < start_frame + self.segment_frames)
         score = in_range.astype(jnp.float32)
         _, idx = lax.top_k(score, self.events_per_segment)
         mask = in_range[idx]
-        return idx, mask
+        return idx, mask, jnp.sum(in_range)
 
     def __call__(self, start_frame, key: jax.Array):
         lo = self.segment_frames
@@ -131,7 +138,7 @@ class SongSplatModel(nn.Module):
         # clamp so the range query and the logit window stay aligned
         # (dynamic_slice clamps silently otherwise)
         start_frame = jnp.clip(jnp.asarray(start_frame), lo, hi)
-        idx, mask = self.range_query(start_frame)
+        idx, mask, n_in_range = self.range_query(start_frame)
         vecs = self.events[idx]  # (K, latent)
 
         # per-event logits over the extended window's frames
@@ -148,8 +155,9 @@ class SongSplatModel(nn.Module):
         rendered = self.generator(heads, sched[None, ...], key)
         rendered = rendered * mask[None, :, None]
         # keep the second half: the segment itself (pre-window events
-        # contribute only their ringing tails)
-        return rendered[..., self.n_segment_samples :], mask, sched
+        # contribute only their ringing tails). n_in_range > K means the
+        # fixed top_k capacity truncated events — callers should log it.
+        return rendered[..., self.n_segment_samples :], mask, sched, n_in_range
 
     def generate_random(self, key: jax.Array, n_events: int = 8) -> jax.Array:
         """Random preview: existing event vectors at random times

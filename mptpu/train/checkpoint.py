@@ -40,7 +40,11 @@ def load_checkpoint(path: str) -> Optional[dict]:
     try:
         with open(path, "rb") as f:
             payload = pickle.load(f)
-    except (IOError, EOFError, pickle.UnpicklingError):
+    except Exception:
+        # corrupt or version-skewed pickles raise far more than
+        # UnpicklingError (AttributeError/ImportError for missing classes,
+        # ValueError from truncated buffers, UnicodeDecodeError, ...);
+        # latest()'s fall-back-past-corrupt-files guarantee needs them all
         return None
     return payload
 

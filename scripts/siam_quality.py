@@ -67,6 +67,10 @@ def main():
     parser.add_argument("--iterations", type=int, default=2000)
     parser.add_argument("--batch-size", type=int, default=2)
     parser.add_argument("--eval-every", type=int, default=250)
+    parser.add_argument("--stream-eval-every", type=int, default=1000,
+                        help="run the streaming-walk holdout eval (full-"
+                             "segment coverage via the half-overlap window "
+                             "walk) every N steps; 0 disables")
     parser.add_argument("--timing-steps", type=int, default=100)
     parser.add_argument("--attn-floor", type=float, default=0.0)
     parser.add_argument("--attn-leak", type=float, default=0.0,
@@ -114,11 +118,22 @@ def main():
     )
 
     audio_path = None
+    holdout_path = None
     if args.dense:
         from mptpu.data.synthetic import ensure_demo_dataset
 
         audio_path = ensure_demo_dataset(
             "trained_weights/dense_corpus", n_files=6, seconds=24.0, dense=True
+        )
+        # held-out CONTENT, not just a held-out crop: generated with seeds
+        # disjoint from every training WAV, so the metric measures
+        # generalization rather than memorization of overlapping crops
+        holdout_path = ensure_demo_dataset(
+            "trained_weights/dense_corpus_holdout",
+            n_files=2,
+            seconds=24.0,
+            dense=True,
+            seed_offset=1000,
         )
 
     train_stream = AudioIterator(
@@ -129,9 +144,18 @@ def main():
         seed=1,
         audio_path=audio_path,
     )
-    # held-out: a segment the training stream (seed=1) never yields
     holdout = next(iter(AudioIterator(
-        1, n_samples, normalize=True, seed=987654, audio_path=audio_path
+        1, n_samples, normalize=True, seed=987654,
+        audio_path=holdout_path or audio_path,
+    )))
+    # a LONG disjoint holdout for the streaming-walk eval: single-window
+    # events are confined to the first half by the encoder's mask; full
+    # coverage is delivered by the half-overlap streaming walk, so this is
+    # the eval matching how the codec is actually used
+    # (iterativedecomposition.py:275-319)
+    stream_holdout = next(iter(AudioIterator(
+        1, 3 * n_samples, normalize=True, seed=13579,
+        audio_path=holdout_path or audio_path,
     )))
 
     key = jax.random.PRNGKey(0)
@@ -209,6 +233,10 @@ def main():
         channels, _, schedules, _ = iterative(params, audio, key)
         return jnp.sum(channels, axis=1, keepdims=True), jnp.max(schedules)
 
+    from mptpu.models.siam import make_streaming_fn
+
+    stream_fn = make_streaming_fn(model)
+
     stream = iter(train_stream)
 
     # ---- compile + 2 warmup steps (skipped on resume: warmup would
@@ -234,7 +262,8 @@ def main():
             f"attn_floor {args.attn_floor:.3f}, "
             f"attn_leak {args.attn_leak:.3f}, "
             f"corpus {'dense' if args.dense else 'sparse'}, "
-            f"fade {'off' if args.no_fade else 'on'}"
+            f"fade {'off' if args.no_fade else 'on'}, "
+            f"holdout {'disjoint-content' if holdout_path else 'same-corpus crop'}"
         ),
         "init_s": round(init_s, 1),
         "first_step_s": round(compile_s, 1),
@@ -338,6 +367,13 @@ def main():
                 # the mag_epsilon smoothing even when fully collapsed)
                 "sched_max": round(float(sched_max), 6),
             }
+            if args.stream_eval_every and i % args.stream_eval_every == 0:
+                s_recon = stream_fn(params, stream_holdout, jax.random.PRNGKey(11))
+                s_snr, s_lsd = spectral_metrics(
+                    stream_holdout, s_recon, window, step_sz
+                )
+                entry["streaming_snr_db"] = round(float(s_snr), 3)
+                entry["streaming_lsd_db"] = round(float(s_lsd), 3)
             metrics["eval"].append(entry)
             print("eval", json.dumps(entry), flush=True)
             with open(os.path.join(args.out, "metrics.json"), "w") as f:

@@ -110,35 +110,38 @@ def main():
     server = serve_collection(collection, port=args.port) if args.port else None
 
     def loss_fn(params, target, start_frame, key):
-        rendered, mask, sched = model.apply(params, start_frame, key)
+        rendered, mask, sched, n_in_range = model.apply(params, start_frame, key)
         recon = jnp.sum(rendered, axis=1, keepdims=True)
         loss = jnp.abs(
             spec_transform(recon) - spec_transform(target)
         ).sum()
         if args.sparsity:
             loss = loss + args.sparsity * jnp.sum(sched)  # straight-through l0
-        return loss, recon
+        return loss, (recon, n_in_range)
 
     @jax.jit
     def train_step(params, opt_state, target, start_frame, key):
-        (loss, recon), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, target, start_frame, key
-        )
+        (loss, (recon, n_in_range)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, target, start_frame, key)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, recon
+        return params, opt_state, loss, recon, n_in_range
 
     losses = []
     t0 = time.perf_counter()
     for i in range(args.iterations):
         target, start_frame = next(stream)
-        params, opt_state, loss, recon = train_step(
+        params, opt_state, loss, recon, n_in_range = train_step(
             params, opt_state, target, jnp.array(start_frame), jax.random.fold_in(key, i)
         )
         if i % args.log_every == 0:
             l = float(loss)
             losses.append(l)
-            print(f"iter {i} loss {l:.2f}", flush=True)
+            overflow = int(n_in_range) - model.events_per_segment
+            extra = f" [RANGE-QUERY OVERFLOW: {overflow} events dropped]" \
+                if overflow > 0 else ""
+            print(f"iter {i} loss {l:.2f}{extra}", flush=True)
             collection.log("orig", np.asarray(target[0, 0]), kind="audio")
             collection.log("recon", np.asarray(recon[0, 0]), kind="audio")
             collection.log("loss", np.asarray(losses[-200:]))

@@ -76,9 +76,10 @@ class TestSongSplat:
         key = jax.random.PRNGKey(0)
         start = jnp.array(model.segment_frames * 2)
         params = model.init(key, start, key)
-        rendered, mask, sched = model.apply(params, start, key)
+        rendered, mask, sched, n_in_range = model.apply(params, start, key)
         assert rendered.shape == (1, 8, 2**12)
         assert mask.shape == (8,)
+        assert int(n_in_range) >= 0  # true count surfaced for overflow logging
         # masked (out-of-range) channels render exact silence
         dead = np.asarray(rendered)[0][~np.asarray(mask)]
         assert np.all(dead == 0.0)
@@ -99,7 +100,7 @@ class TestSongSplat:
         opt_state = opt.init(params)
 
         def loss_fn(p, k):
-            rendered, _, _ = model.apply(p, jnp.array(start_frame), k)
+            rendered, _, _, _ = model.apply(p, jnp.array(start_frame), k)
             recon = jnp.sum(rendered, 1, keepdims=True)
             return jnp.abs(
                 stft(recon, 2048, 256, pad=True) - stft(target, 2048, 256, pad=True)

@@ -346,3 +346,43 @@ def test_recon_snr_parity_at_fixed_sparsity(ref):
         / float(jnp.sum(result.residual**2))
     )
     assert abs(ref_snr - ours_snr) < 0.1, (ref_snr, ours_snr)
+
+
+def test_decay_loss_features_parity(ref):
+    """DecayLoss.features vs a torch replica of the reference's forward
+    (spiking.py:129-180): STFT -> decay-template smear -> minus TRAILING
+    moving average (F.avg_pool1d over a left-pad, which EXCLUDES the
+    current frame) -> relu."""
+    import torch.nn.functional as F
+
+    from mptpu.losses.autocorrelation import DecayLoss
+
+    n_samples, n_decays, window_size, pool = 4096, 8, 256, 16
+    step = window_size // 2
+    n_frames = n_samples // step
+
+    x_np = RNG.standard_normal((2, 1, n_samples)).astype(np.float32)
+
+    dl = DecayLoss(
+        n_samples, n_decays=n_decays, min_decay=0.5, max_decay=32.0,
+        window_size=window_size, pool=pool,
+    )
+    ours = np.asarray(dl.features(jnp.asarray(x_np)))
+
+    # torch replica mirroring spiking.py:139-175 line for line
+    base = torch.linspace(1, 0, n_frames)[None, :]
+    exps = torch.linspace(0.5, 32.0, n_decays)[:, None]
+    decays = (base ** exps).view(1, 1, n_decays, n_frames)
+    decays = ref["normalization"].unit_norm(decays)
+    x = t(x_np)
+    spec = ref["stft"].stft(x, ws=window_size, step=step, pad=True)
+    spec = spec.permute(0, 1, 3, 2)
+    smeared = ref["fft"].fft_convolve(
+        spec[:, :, :, None, :], decays[:, :, None, :, :]
+    ).reshape(2, -1, n_frames)
+    pooled = F.avg_pool1d(
+        F.pad(smeared, [pool, 0]), kernel_size=pool, stride=1, padding=0
+    )[..., :n_frames]
+    theirs = torch.relu(smeared - pooled).numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)

@@ -79,6 +79,28 @@ class SIAMModel(nn.Module):
     # silence local optimum is escapable (see BENCHMARKS.md SIAM notes).
     # 0.0 = plain relu gradient (exact reference backward)
     attn_leak: float = 0.0
+    # --- NaN-blowup guards (root-caused in round 3, BENCHMARKS.md) ---
+    # The gated encoder block (conv(x) * selu(gate(x)) + x,
+    # anticausal.py:28-66) is quadratic per block, so the 8-block stack is
+    # a degree-256 polynomial of its input: on ~7% of trained-model steps
+    # the event-switch head emits astronomically large attention (measured
+    # 1.4e33), the scheduled event inherits it, and the residual subtract
+    # feeds an e31-scale spectrogram to the next encode, which overflows
+    # to inf-inf = NaN. The reference shares the architecture and merely
+    # skips such steps via its loss guard (iterativedecomposition.py:
+    # 535-540). Two surgical guards fix the source:
+    # switch_clamp > 0: cap the selected event amplitude at this value
+    #   with a STRAIGHT-THROUGH min — forward is bit-identical whenever
+    #   sel <= clamp (the healthy regime is sel ~ 0-5), and the identity
+    #   backward lets the loss keep pushing an exploded switch DOWN
+    #   (a plain min has zero gradient above the cap).
+    switch_clamp: float = 0.0
+    # residual_clamp_scale > 0: clip the (stop-gradient) residual carry to
+    #   +/- scale * max|initial spec| per item. A sane codec's residual
+    #   never exceeds the target's own magnitude, so this is a no-op in
+    #   healthy training; after a blowup it bounds what the next encode
+    #   sees, converting a NaN cascade into a finite, learnable penalty.
+    residual_clamp_scale: float = 0.0
 
     @property
     def n_frames(self) -> int:
@@ -157,6 +179,10 @@ class SIAMModel(nn.Module):
         sel = jnp.take_along_axis(attn[:, 0, :], indices, axis=-1)  # (b, 1)
         if self.attn_floor:
             sel = sel + self.attn_floor
+        if self.switch_clamp:
+            from ..ops.ste import straight_through
+
+            sel = straight_through(jnp.minimum(sel, self.switch_clamp), sel)
         scheduling = jnp.zeros((batch_size, 1, frame_count), attn.dtype)
         scheduling = jax.vmap(
             lambda s, i, v: s.at[0, i].set(v)
@@ -178,6 +204,11 @@ class SIAMModel(nn.Module):
         ``:321-371``). Returns (channels (b, E, n), vecs (b, E, C),
         schedules (b, E, F)[, residual spec])."""
         spec = self.transform(audio_or_spec) if do_transform else audio_or_spec
+        bound = None
+        if self.residual_clamp_scale:
+            bound = self.residual_clamp_scale * jnp.max(
+                jnp.abs(spec), axis=(-2, -1), keepdims=True
+            )
 
         channels, vecs, schedules = [], [], []
         for i in range(self.n_events):
@@ -185,6 +216,8 @@ class SIAMModel(nn.Module):
             ch = self.generate(v, sched, jax.random.fold_in(key, i))
             current = self.transform(ch)
             spec = lax.stop_gradient(spec - current)
+            if bound is not None:
+                spec = jnp.clip(spec, -bound, bound)
             channels.append(ch)
             vecs.append(v)
             schedules.append(sched)
@@ -218,6 +251,11 @@ def make_iterative_fn(model: SIAMModel):
         spec = (
             model.transform(audio_or_spec) if do_transform else audio_or_spec
         )
+        bound = None
+        if model.residual_clamp_scale:
+            bound = model.residual_clamp_scale * jnp.max(
+                jnp.abs(spec), axis=(-2, -1), keepdims=True
+            )
 
         def step(carry, i):
             spec = carry
@@ -231,6 +269,8 @@ def make_iterative_fn(model: SIAMModel):
             )
             current = model.transform(ch)
             new_spec = lax.stop_gradient(spec - current)
+            if bound is not None:
+                new_spec = jnp.clip(new_spec, -bound, bound)
             return new_spec, (ch[:, 0], v[:, 0], sched[:, 0])
 
         residual, (chs, vs, scheds) = lax.scan(

@@ -147,6 +147,11 @@ def sparsify_vectors(
     attn = attn.reshape(batch, time)
     values, indices = lax.top_k(attn, n_to_keep)
     if normalize:
+        # literal reference idiom (sparse.py:172): mathematically 1 with
+        # zero gradient, and KEPT literal deliberately — in f32 at
+        # values ~1e9+ the cancellation yields exactly 0, which is what
+        # the torch reference computes too (the round-3 NaN post-mortem
+        # relies on this: a blown-up switch zeroes its own event vector)
         values = values + (1 - values)
 
     latents = jnp.take_along_axis(

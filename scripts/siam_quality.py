@@ -73,6 +73,14 @@ def main():
                              "walk) every N steps; 0 disables")
     parser.add_argument("--timing-steps", type=int, default=100)
     parser.add_argument("--attn-floor", type=float, default=0.0)
+    parser.add_argument("--switch-clamp", type=float, default=100.0,
+                        help="straight-through cap on the event-switch "
+                             "amplitude (0 = exact reference; see the "
+                             "round-3 NaN post-mortem in BENCHMARKS.md)")
+    parser.add_argument("--residual-clamp", type=float, default=4.0,
+                        help="clip the stop-gradient residual carry to "
+                             "+/- this multiple of max|initial spec| "
+                             "(0 = exact reference)")
     parser.add_argument("--attn-leak", type=float, default=0.0,
                         help="straight-through leaky backward slope for the "
                              "attention relu (forward stays exact reference "
@@ -115,6 +123,8 @@ def main():
         fft_resonance=True,
         attn_floor=args.attn_floor,
         attn_leak=args.attn_leak,
+        switch_clamp=args.switch_clamp,
+        residual_clamp_scale=args.residual_clamp,
     )
 
     audio_path = None
@@ -261,6 +271,8 @@ def main():
             f"batch {args.batch_size}, STFT {window}/{step_sz}, "
             f"attn_floor {args.attn_floor:.3f}, "
             f"attn_leak {args.attn_leak:.3f}, "
+            f"switch_clamp {args.switch_clamp:g}, "
+            f"residual_clamp {args.residual_clamp:g}, "
             f"corpus {'dense' if args.dense else 'sparse'}, "
             f"fade {'off' if args.no_fade else 'on'}, "
             f"holdout {'disjoint-content' if holdout_path else 'same-corpus crop'}"

@@ -48,6 +48,8 @@ def train_and_monitor(
     data_parallel: bool = False,
     attn_floor: float = 0.0,
     attn_leak: float = 0.0,
+    switch_clamp: float = 100.0,
+    residual_clamp: float = 4.0,
     log_every: int = 10,
     seed: int | None = None,
     selection_leak: float = 0.0,
@@ -78,6 +80,10 @@ def train_and_monitor(
         fft_resonance=True,
         attn_floor=attn_floor,
         attn_leak=attn_leak,
+        # NaN-blowup guards (round-3 post-mortem, BENCHMARKS.md): no-ops
+        # in the healthy regime, bound the switch-explosion cascade
+        switch_clamp=switch_clamp,
+        residual_clamp_scale=residual_clamp,
     )
 
     stream = AudioIterator(
@@ -221,6 +227,12 @@ if __name__ == "__main__":
                         help="shard the batch over all devices")
     parser.add_argument("--attn-floor", type=float, default=0.0,
                         help="amplitude floor keeping event gradients alive")
+    parser.add_argument("--switch-clamp", type=float, default=100.0,
+                        help="straight-through cap on the event-switch "
+                             "amplitude (0 = exact reference semantics)")
+    parser.add_argument("--residual-clamp", type=float, default=4.0,
+                        help="residual-carry clip as a multiple of "
+                             "max|initial spec| (0 = exact reference)")
     parser.add_argument("--attn-leak", type=float, default=0.0,
                         help="straight-through leaky backward for the attention\n"
                              "relu (forward stays exact reference relu)")
@@ -244,6 +256,8 @@ if __name__ == "__main__":
         data_parallel=args.data_parallel,
         attn_floor=args.attn_floor,
         attn_leak=args.attn_leak,
+        switch_clamp=args.switch_clamp,
+        residual_clamp=args.residual_clamp,
         log_every=args.log_every,
         seed=args.seed,
         selection_leak=args.selection_leak,

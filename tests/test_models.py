@@ -147,6 +147,85 @@ class TestSIAM:
         assert np.isfinite(float(loss))
         assert np.isfinite(float(optax.global_norm(grads)))
 
+    def test_switch_blowup_guards_fix_nan_gradients(self):
+        """Round-3 NaN root cause (BENCHMARKS.md): the gated encoder
+        stack is a degree-256 polynomial of its input, so an exploded
+        event-switch amplitude (measured 1.4e33 in the dense quality run)
+        drives the residual spectrogram to e31 scale and the NEXT encode
+        overflows to inf-inf = NaN. Reproduce the incident shape by
+        scaling the switch head, then prove switch_clamp +
+        residual_clamp_scale keep loss AND gradients finite while exact
+        reference semantics (clamps off) produce non-finite gradients."""
+        from mptpu.models.siam import SIAMModel, siam_transform
+        from mptpu.losses import iterative_loss
+
+        def build(**guards):
+            return SIAMModel(
+                n_samples=2**11,
+                context_dim=8,
+                in_channels=257,
+                hidden_channels=16,
+                n_events=3,
+                transform_window_size=512,
+                transform_step_size=256,
+                fft_resonance=True,
+                attn_floor=0.01,
+                attn_leak=0.1,
+                **guards,
+            )
+
+        model = build()
+        audio = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 2**11)) * 0.1
+        params = model.init(KEY, audio, KEY)
+        # emulate the incident: the switch head emits astronomical
+        # attention (the trained encoder reaches this state on ~7% of
+        # batches through its own chaotic amplification). The fp
+        # cancellation in sparsify_vectors' normalize (values + (1 -
+        # values) == 0 in f32 at values ~1e9+, faithful to the torch
+        # reference) zeroes the event VECTOR, so the decoder renders a
+        # zero-latent event — give the multihead nonzero biases so that
+        # event still makes audio, as the trained model does.
+        params = jax.tree_util.tree_map(lambda x: x, params)  # copy
+        sw = params["params"]["to_event_switch"]
+        sw["kernel"] = sw["kernel"] * 1e12
+
+        def bias_bump(d):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    bias_bump(v)
+                elif k == "bias":
+                    d[k] = v + 0.05
+
+        bias_bump(params["params"]["multihead"])
+
+        def make_loss(m):
+            def loss_fn(p):
+                channels, _, _ = m.apply(p, audio, KEY)
+                return iterative_loss(
+                    audio,
+                    channels,
+                    lambda x: siam_transform(x, 512, 256, mag_epsilon=1e-6),
+                )
+            return loss_fn
+
+        # exact reference semantics: the cascade produces non-finite grads
+        loss0, grads0 = jax.value_and_grad(make_loss(model))(params)
+        bad0 = not (
+            np.isfinite(float(loss0))
+            and np.isfinite(float(optax.global_norm(grads0)))
+        )
+        assert bad0, "incident failed to reproduce - guards untestable"
+
+        # with the guards: finite loss and finite grads — the cascade
+        # (huge scheduled event -> huge residual -> encoder overflow) is
+        # cut at both links
+        guarded = build(switch_clamp=100.0, residual_clamp_scale=4.0)
+        loss1, grads1 = jax.value_and_grad(make_loss(guarded))(params)
+        assert np.isfinite(float(loss1))
+        assert np.isfinite(float(optax.global_norm(grads1)))
+        g_sw = grads1["params"]["to_event_switch"]["kernel"]
+        assert np.isfinite(np.asarray(g_sw)).all()
+
     def test_silence_collapse_escape_needs_floor_and_leak(self):
         """Silence-collapse anatomy (BENCHMARKS.md SIAM notes): with every
         event-switch pre-activation negative the channels are EXACTLY

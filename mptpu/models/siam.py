@@ -101,6 +101,11 @@ class SIAMModel(nn.Module):
     #   healthy training; after a blowup it bounds what the next encode
     #   sees, converting a NaN cascade into a finite, learnable penalty.
     residual_clamp_scale: float = 0.0
+    # encoder_clamp > 0: per-block straight-through activation clip inside
+    #   the gated encoder stack (see AntiCausalBlock.activation_clamp) —
+    #   the degree-256 polynomial can overflow f32 INTERNALLY once its
+    #   weights grow, which the two guards above cannot prevent.
+    encoder_clamp: float = 0.0
 
     @property
     def n_frames(self) -> int:
@@ -120,6 +125,7 @@ class SIAMModel(nn.Module):
             pos_encodings=False,
             do_norm=False,
             with_activation_norm=self.with_activation_norm,
+            activation_clamp=self.encoder_clamp,
         )
         self.to_event_vectors = nn.Dense(
             self.context_dim, kernel_init=uniform_init(0.02)

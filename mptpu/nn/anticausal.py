@@ -44,7 +44,16 @@ class AntiCausalConv(nn.Module):
 
 class AntiCausalBlock(nn.Module):
     """Gated residual block: conv * selu(gate) + skip (reference
-    ``anticausal.py:28-66``)."""
+    ``anticausal.py:28-66``).
+
+    ``activation_clamp`` > 0 clips each block's output to +/- that bound
+    with a straight-through identity backward. The selu-gated product is
+    QUADRATIC in x, so an N-block stack is a degree-2^N polynomial of its
+    input — capable of overflowing f32 in a single forward once weights
+    grow (the round-3 SIAM NaN post-mortem, BENCHMARKS.md). The clamp is
+    forward-identical while activations stay within the bound (healthy
+    runs sit orders of magnitude below it) and makes overflow impossible.
+    0 = exact reference semantics."""
 
     channels: int
     kernel_size: int
@@ -53,6 +62,7 @@ class AntiCausalBlock(nn.Module):
     reverse_causality: bool = False
     with_activation_norm: bool = False
     init_scale: float = 0.1
+    activation_clamp: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -72,6 +82,11 @@ class AntiCausalBlock(nn.Module):
         else:
             x = conv * jax.nn.selu(gate)
         x = x + skip
+        if self.activation_clamp:
+            from ..ops.ste import straight_through
+
+            b = self.activation_clamp
+            x = straight_through(jnp.clip(x, -b, b), x)
         if self.do_norm:
             x = nn.BatchNorm(use_running_average=not train)(x)
         return x
@@ -88,6 +103,7 @@ class AntiCausalStack(nn.Module):
     reverse_causality: bool = False
     with_activation_norm: bool = False
     init_scale: float = 0.1
+    activation_clamp: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -101,6 +117,7 @@ class AntiCausalStack(nn.Module):
                 reverse_causality=self.reverse_causality,
                 with_activation_norm=self.with_activation_norm,
                 init_scale=self.init_scale,
+                activation_clamp=self.activation_clamp,
             )(x, train=train)
             output = output + x
         return nn.Dense(
@@ -126,6 +143,7 @@ class AntiCausalAnalysis(nn.Module):
     reverse_causality: bool = False
     with_activation_norm: bool = False
     init_scale: float = 0.1
+    activation_clamp: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -152,5 +170,6 @@ class AntiCausalAnalysis(nn.Module):
             reverse_causality=self.reverse_causality,
             with_activation_norm=self.with_activation_norm,
             init_scale=self.init_scale,
+            activation_clamp=self.activation_clamp,
         )(x, train=train)
         return jnp.transpose(x, (0, 2, 1))

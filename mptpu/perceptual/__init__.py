@@ -18,6 +18,7 @@ from .filterbank import (
     avg_pool_1d,
 )
 from .scattering import scattering_transform, MoreCorrectScattering
+from .texture import AudioTextureFeatures, calculate_kurtosis
 from .psychoacoustic import PsychoacousticFeature
 
 __all__ = [
@@ -35,6 +36,8 @@ __all__ = [
     "filter_bank_convolve",
     "avg_pool_1d",
     "scattering_transform",
+    "AudioTextureFeatures",
+    "calculate_kurtosis",
     "MoreCorrectScattering",
     "PsychoacousticFeature",
 ]

@@ -159,13 +159,19 @@ def dictionary_learning_step(
     ``matchingpursuit.py:348-419``):
 
     sparse-code the signal, then for each atom in sequence: add its
-    instances back into the residual, gather the residual segments at the
-    instance positions, average + unit-norm them into the new atom, and
-    re-subtract the instances rendered with the new atom (amplitude
-    ``|value|``). Later atoms see earlier atoms' updates (Gauss-Seidel),
-    exactly like the reference's python loop — here a ``lax.fori_loop``
-    whose body does masked batched scatter/gathers over all events at
-    once. Atoms are visited in first-selection order (the reference
+    instances into the update residual, gather the residual segments at
+    the instance positions, average + unit-norm them into the new atom,
+    and re-subtract the instances rendered with the new atom (amplitude
+    ``|value|``). CRITICAL parity detail: the update pass starts from the
+    FULL signal (reference resets ``residual = signal.clone()`` at
+    ``matchingpursuit.py:367``), NOT from the coding residual — so when
+    atom k is updated, the contributions of not-yet-visited atoms are
+    still present in what it gathers (measured: starting from the coding
+    residual instead loses a systematic ~1.3 dB/trajectory at the
+    multiband benchmark config; see trained_weights/multiband_parity.json).
+    Later atoms see earlier atoms' updates (Gauss-Seidel), exactly like
+    the reference's python loop — here a ``lax.fori_loop`` whose body
+    does masked batched scatter/gathers over all events at once. Atoms are visited in first-selection order (the reference
     iterates its event dict, whose keys are inserted at first selection,
     ``matchingpursuit.py:391``); unused atoms are no-ops. Energy scattered
     past the signal end is dropped (the pad region is re-zeroed after each
@@ -199,10 +205,11 @@ def dictionary_learning_step(
         )
     ai, pos, val = coded.atom_indices, coded.positions, coded.values  # (S, B)
 
-    # padded residual: events may spill past the end; pad region mimics the
-    # reference's 3x-pad trick for both scatter (dropped on trim) and
-    # gather (reads zeros)
-    padded0 = jnp.pad(coded.residual, ((0, 0), (0, 0), (0, atom_size)))
+    # padded update residual: starts from the FULL signal (see docstring);
+    # events may spill past the end; the pad region mimics the reference's
+    # 3x-pad trick for both scatter (dropped on trim) and gather (reads
+    # zeros)
+    padded0 = jnp.pad(signal, ((0, 0), (0, 0), (0, atom_size)))
 
     window = pos[..., None] + jnp.arange(atom_size)        # (S, B, A)
     b_idx = jnp.broadcast_to(

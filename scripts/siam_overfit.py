@@ -74,6 +74,10 @@ def main():
     p.add_argument("--waveform-weight", type=float, default=0.0)
     p.add_argument("--switch-clamp", type=float, default=100.0)
     p.add_argument("--residual-clamp", type=float, default=4.0)
+    p.add_argument("--encoder-clamp", type=float, default=1e4,
+                   help="per-block activation clip in the gated encoder "
+                        "stack (0 = exact reference; prevents internal "
+                        "f32 overflow of the degree-256 polynomial)")
     p.add_argument("--fixed-noise", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=3)
@@ -109,6 +113,7 @@ def main():
         attn_leak=args.attn_leak,
         switch_clamp=args.switch_clamp,
         residual_clamp_scale=args.residual_clamp,
+        encoder_clamp=args.encoder_clamp,
     )
 
     # ONE fixed dense segment (reference --overfit repeats one batch,
@@ -151,7 +156,7 @@ def main():
 
     noise_key = jax.random.PRNGKey(42)
 
-    def loss_fn(params, key):
+    def loss_fn(params, key, wave_w):
         channels, vecs, schedules, _ = iterative(params, faded_target, key)
         mag = iterative_loss(
             faded_target,
@@ -163,14 +168,16 @@ def main():
         wave = jnp.sum(
             (recon[..., :half] - target[..., :half]) ** 2
         ) / jnp.maximum(target_energy_half, 1e-12)
-        loss = mag + args.waveform_weight * wave
+        # wave_w is a TRACED scalar so the weight can change (or ramp)
+        # without recompiling the program over the remote relay
+        loss = mag + wave_w * wave
         return loss, (recon, wave)
 
     @jax.jit
-    def train_step(params, opt_state, key):
+    def train_step(params, opt_state, key, wave_w):
         (loss, (recon, wave)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, key)
+        )(params, key, wave_w)
         gnorm = optax.global_norm(grads)
         scale = jnp.minimum(1.0, 5e4 / jnp.maximum(gnorm, 1e-12))
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
@@ -218,18 +225,27 @@ def main():
     run_start = time.perf_counter()
     best_snr = -np.inf
     nan_steps = 0
+    nan_streak = 0
     last_i = start_step
     for i in range(start_step, args.iterations):
         last_i = i
         step_key = noise_key if args.fixed_noise else jax.random.fold_in(key, i)
-        params, opt_state, loss, wave, ok = train_step(params, opt_state, step_key)
+        params, opt_state, loss, wave, ok = train_step(
+            params, opt_state, step_key, jnp.float32(args.waveform_weight)
+        )
         if i % 25 == 0:
             faulthandler.cancel_dump_traceback_later()
             faulthandler.dump_traceback_later(args.stall_s, exit=True)
             l = float(loss)
             nan_steps += int(not bool(ok))
+            nan_streak = nan_streak + 1 if not np.isfinite(l) else 0
             metrics["losses"].append([i, round(l, 2)])
             print(f"iter {i} loss {l:.2f} wave {float(wave):.4f}", flush=True)
+            if nan_streak >= 3:
+                # fixed input + the finite-gate freezing params means a
+                # deterministic NaN forward can never recover — abort
+                print("ABORT: persistent non-finite forward", flush=True)
+                break
         if i % args.eval_every == 0:
             eval_key = noise_key if args.fixed_noise else jax.random.PRNGKey(7)
             recon, sched_max = reconstruct(params, eval_key)

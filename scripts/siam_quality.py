@@ -81,6 +81,9 @@ def main():
                         help="clip the stop-gradient residual carry to "
                              "+/- this multiple of max|initial spec| "
                              "(0 = exact reference)")
+    parser.add_argument("--encoder-clamp", type=float, default=1e4,
+                        help="per-block activation clip in the gated "
+                             "encoder stack (0 = exact reference)")
     parser.add_argument("--attn-leak", type=float, default=0.0,
                         help="straight-through leaky backward slope for the "
                              "attention relu (forward stays exact reference "
@@ -125,6 +128,7 @@ def main():
         attn_leak=args.attn_leak,
         switch_clamp=args.switch_clamp,
         residual_clamp_scale=args.residual_clamp,
+        encoder_clamp=args.encoder_clamp,
     )
 
     audio_path = None

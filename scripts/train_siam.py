@@ -50,6 +50,7 @@ def train_and_monitor(
     attn_leak: float = 0.0,
     switch_clamp: float = 100.0,
     residual_clamp: float = 4.0,
+    encoder_clamp: float = 1e4,
     log_every: int = 10,
     seed: int | None = None,
     selection_leak: float = 0.0,
@@ -84,6 +85,7 @@ def train_and_monitor(
         # in the healthy regime, bound the switch-explosion cascade
         switch_clamp=switch_clamp,
         residual_clamp_scale=residual_clamp,
+        encoder_clamp=encoder_clamp,
     )
 
     stream = AudioIterator(
@@ -233,6 +235,9 @@ if __name__ == "__main__":
     parser.add_argument("--residual-clamp", type=float, default=4.0,
                         help="residual-carry clip as a multiple of "
                              "max|initial spec| (0 = exact reference)")
+    parser.add_argument("--encoder-clamp", type=float, default=1e4,
+                        help="per-block activation clip in the gated "
+                             "encoder stack (0 = exact reference)")
     parser.add_argument("--attn-leak", type=float, default=0.0,
                         help="straight-through leaky backward for the attention\n"
                              "relu (forward stays exact reference relu)")
@@ -258,6 +263,7 @@ if __name__ == "__main__":
         attn_leak=args.attn_leak,
         switch_clamp=args.switch_clamp,
         residual_clamp=args.residual_clamp,
+        encoder_clamp=args.encoder_clamp,
         log_every=args.log_every,
         seed=args.seed,
         selection_leak=args.selection_leak,

@@ -146,3 +146,50 @@ def test_generate_impulse_shapes():
     p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)), jax.random.PRNGKey(1))
     out = m.apply(p, jnp.zeros((1, 16)), jax.random.PRNGKey(1))
     assert out.shape == (1, 1, 4096)
+
+
+class TestTextureFeatures:
+    def test_kurtosis_matches_reference_formula(self):
+        import torch
+        from mptpu.perceptual.texture import calculate_kurtosis
+
+        x = np.random.default_rng(0).standard_normal((2, 4, 256)).astype(np.float32)
+        ours = np.asarray(calculate_kurtosis(jnp.asarray(x)))
+        # reference texture.py:18-24 (torch.std is the unbiased estimator)
+        t = torch.from_numpy(x)
+        mean = torch.mean(t, dim=-1, keepdim=True)
+        std = torch.std(t, dim=-1, keepdim=True)
+        fourth = torch.mean((t - mean) ** 4, dim=-1, keepdim=True)
+        theirs = (fourth / (std**4)) - 3
+        np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-3, atol=1e-4)
+
+    def test_statistics_matching_reduces_loss(self):
+        import optax
+        from mptpu.ops.norms import max_norm
+        from mptpu.perceptual.texture import AudioTextureFeatures
+        from mptpu.data.synthetic import synthetic_audio
+
+        n = 2**12
+        target = jnp.asarray(synthetic_audio(n, seed=11)).reshape(1, 1, n)
+        feats = AudioTextureFeatures(n, n_filters=8, filter_size=64,
+                                     min_band_size=512)
+        tf = feats(target)
+        assert np.isfinite(np.asarray(tf)).all()
+
+        params = jax.random.normal(jax.random.PRNGKey(0), target.shape) * 0.01
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            def loss_fn(pp):
+                return jnp.abs(feats(max_norm(pp)) - tf).sum()
+            l, g = jax.value_and_grad(loss_fn)(p)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s, l
+
+        losses = []
+        for _ in range(25):
+            params, opt_state, l = step(params, opt_state)
+            losses.append(float(l))
+        assert losses[-1] < losses[0] * 0.7

@@ -219,7 +219,8 @@ class TestSIAM:
         # with the guards: finite loss and finite grads — the cascade
         # (huge scheduled event -> huge residual -> encoder overflow) is
         # cut at both links
-        guarded = build(switch_clamp=100.0, residual_clamp_scale=4.0)
+        guarded = build(switch_clamp=100.0, residual_clamp_scale=4.0,
+                        encoder_clamp=1e4)
         loss1, grads1 = jax.value_and_grad(make_loss(guarded))(params)
         assert np.isfinite(float(loss1))
         assert np.isfinite(float(optax.global_norm(grads1)))

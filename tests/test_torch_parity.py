@@ -278,6 +278,10 @@ def _ref_dictionary_learning_step(ref, signal_np, d_np, steps):
             ]
         )
 
+    # the reference RESETS the residual to the full signal before the
+    # update pass (matchingpursuit.py:367) — the coding residual is not
+    # used by the dictionary update at all
+    residual = t(signal_np).clone()
     for index, inst in instances.items():
         residual = residual + scatter(inst)
         new_atom = gather(residual, inst).sum(dim=0)

@@ -35,7 +35,11 @@ from ..ops.correlation import mp_correlate
 from ..ops.norms import unit_norm
 from .matching_pursuit import SparseCodeResult, _normalize_dict
 from .pallas_mp import PALLAS_AVAILABLE, pallas_boundary_update
-from .pallas_fused_mp import pallas_fused_step, fused_step_applicable
+from .pallas_fused_mp import (
+    pallas_fused_step,
+    pallas_fused_step_pipelined,
+    fused_step_applicable,
+)
 
 
 def dictionary_gram(d: jax.Array) -> jax.Array:
@@ -59,7 +63,9 @@ def dictionary_gram(d: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "block", "block_argmax", "use_pallas", "fused"),
+    static_argnames=(
+        "n_steps", "block", "block_argmax", "use_pallas", "fused", "pipelined"
+    ),
 )
 def sparse_code_fast(
     signal: jax.Array,
@@ -69,6 +75,7 @@ def sparse_code_fast(
     block_argmax: bool = False,
     use_pallas: bool = False,
     fused: bool = False,
+    pipelined: bool = True,
 ) -> SparseCodeResult:
     """Drop-in fast path for ``sparse_code`` (1-channel dictionaries).
 
@@ -145,9 +152,26 @@ def sparse_code_fast(
         # zero-pad the lag axis to 2A so DMA extents are 128-aligned
         gram_p = jnp.pad(gram, ((0, 0), (0, 0), (0, 1)))
 
+        # cross-item software pipelining hides the per-item serial DMA
+        # chain behind the neighboring item's compute (see
+        # pallas_fused_mp._pipelined_step_kernel); numerics identical
+        step_impl = (
+            pallas_fused_step_pipelined if pipelined else pallas_fused_step
+        )
+        if pipelined:
+            # the pipelined kernel DMAs bm rows manually, so the lane
+            # count must be a 128 multiple; -3e38 pad lanes never win the
+            # argmax and survive every masked table write
+            nb_pad = ((n_blocks + 127) // 128) * 128
+            blockmax0 = jnp.pad(
+                blockmax0,
+                ((0, 0), (0, 0), (0, nb_pad - n_blocks)),
+                constant_values=-3e38,
+            )
+
         def fused_scan_step(carry, _):
             residual, fm, bm = carry
-            fm, bm, residual, atom, pos, val = pallas_fused_step(
+            fm, bm, residual, atom, pos, val = step_impl(
                 fm,
                 bm,
                 residual,

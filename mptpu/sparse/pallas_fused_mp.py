@@ -360,6 +360,361 @@ def pallas_fused_step(
     return fm2, bm2, res2.reshape(B, L), atom[:, 0], pos[:, 0], val[:, 0]
 
 
+def _pipelined_step_kernel(
+    # inputs
+    fm_hbm,      # (B, N, W) ANY
+    gram_hbm,    # (N, N, 2A) ANY
+    res_hbm,     # (B, 1, L) ANY
+    bm_hbm,      # (B, N, n_blocks) ANY
+    d2_ref,      # (N, A) VMEM
+    # outputs
+    fm_out,      # aliased fm
+    res_out,     # aliased residual
+    bm_out,      # aliased bm
+    atom_out,    # (B, 1) SMEM
+    pos_out,
+    val_out,
+    # scratch (slot-alternating where a DMA may still be in flight)
+    bm_scr,      # (2, N, n_blocks) VMEM
+    refine_scr,  # (8, block) VMEM
+    res_scr,     # (2, 1, L) VMEM
+    gpad_scr,    # (N, upd_w) VMEM (single: produced by prefetch, consumed
+                 #  by the next heavy phase, never concurrently owned)
+    win_scr,     # (2, N, upd_w) VMEM
+    hank_scr,    # (A, 2A) VMEM (compute-only)
+    tail_scr,    # (2, N, A) VMEM
+    pend_i,      # (2, 4) SMEM int32: atom, position, ws_blk, item
+    pend_f,      # (2, 1) SMEM f32: value
+    sems,        # DMA semaphores (2, 9):
+                 #  0 bm_in, 1 refine, 2 gram, 3 res_in, 4 win_in,
+                 #  5 res_out, 6 win_out, 7 tail_out, 8 bm_out
+    *,
+    n_samples: int,
+    atom_size: int,
+    block: int,
+    pad: int,
+    n_blocks: int,
+    upd_blocks: int,
+    tail_start: int,
+    n_items: int,
+    interpret: bool,
+):
+    """Cross-item software-pipelined variant of ``_step_kernel``.
+
+    Items are fully independent, so while item g's heavy phase (residual
+    surgery, Hankel/MXU tail, window subtract, write-backs) runs, item
+    g+1's LIGHT phase (block-table argmax -> winner refine -> launch its
+    gram/residual/window fetches) has already put every data-dependent
+    DMA in flight — hiding the serial DMA latency chain that dominates
+    the non-pipelined kernel (~40 us per (item, step) vs the ~12 us HBM
+    bound, BENCHMARKS.md).
+    """
+    g = pl.program_id(0)
+    N = d2_ref.shape[0]
+    A = atom_size
+    L = n_samples + A
+    upd_w = upd_blocks * block
+    tail_blk = tail_start // block
+    tail_nblk = A // block
+    NEG = jnp.float32(-3e38)
+    # the block-max table is carried NEG-padded to a 128-multiple lane
+    # count (manual DMA extents must be tiling-aligned); pad lanes are
+    # -3e38 so they never win the argmax and every masked write below
+    # preserves them
+    nb_pad = bm_hbm.shape[-1]
+
+    slot = jax.lax.rem(g, 2)
+    nslot = 1 - slot
+
+    def prefetch(item, s):
+        """Light phase for ``item`` into slot ``s``: argmax + refine, then
+        launch every data-dependent fetch. Waits the slot's PREVIOUS
+        output DMAs first (item-2's write-backs still own the scratch)."""
+
+        @pl.when(item >= 2)
+        def _():
+            pltpu.make_async_copy(res_scr.at[s], res_out.at[0], sems.at[s, 5]).wait()
+            pltpu.make_async_copy(win_scr.at[s], fm_out.at[0, :, : upd_w], sems.at[s, 6]).wait()
+            pltpu.make_async_copy(tail_scr.at[s], fm_out.at[0, :, :A], sems.at[s, 7]).wait()
+            pltpu.make_async_copy(bm_scr.at[s], bm_out.at[0], sems.at[s, 8]).wait()
+
+        bm_dma = pltpu.make_async_copy(
+            bm_hbm.at[item], bm_scr.at[s], sems.at[s, 0]
+        )
+        bm_dma.start()
+        bm_dma.wait()
+        atom, blk, _ = _first_max_2d(bm_scr[s])
+
+        refine_dma = pltpu.make_async_copy(
+            fm_hbm.at[item, pl.ds((atom // 8) * 8, 8), pl.ds(blk * block, block)],
+            refine_scr,
+            sems.at[s, 1],
+        )
+        refine_dma.start()
+        refine_dma.wait()
+        row_sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, block), 0)
+            == atom - (atom // 8) * 8
+        )
+        seg2 = jnp.where(row_sel, refine_scr[:, :], NEG)
+        value = jnp.max(seg2)
+        ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, block), 1)
+        li = jnp.min(jnp.where(seg2 == value, ids2, jnp.int32(block)))
+        position = blk * block + li - pad
+
+        ustart = position + pad - (A - 1)
+        ws_blk = jnp.minimum(ustart // block, n_blocks - upd_blocks)
+
+        pend_i[s, 0] = atom
+        pend_i[s, 1] = position
+        pend_i[s, 2] = ws_blk
+        pend_i[s, 3] = item
+        pend_f[s, 0] = value
+
+        pltpu.make_async_copy(
+            gram_hbm.at[atom], gpad_scr.at[:, : 2 * A], sems.at[s, 2]
+        ).start()
+        pltpu.make_async_copy(
+            res_hbm.at[item], res_scr.at[s], sems.at[s, 3]
+        ).start()
+        pltpu.make_async_copy(
+            fm_hbm.at[item, :, pl.ds(ws_blk * block, upd_w)],
+            win_scr.at[s],
+            sems.at[s, 4],
+        ).start()
+
+    # ---- prologue: item 0's light phase runs synchronously
+    @pl.when(g == 0)
+    def _():
+        prefetch(jnp.int32(0), slot)
+
+    # ---- heavy phase for item g (slot) ----
+    atom = pend_i[slot, 0]
+    position = pend_i[slot, 1]
+    ws_blk = pend_i[slot, 2]
+    value = pend_f[slot, 0]
+    ws = ws_blk * block
+    ustart = position + pad - (A - 1)
+
+    # residual surgery (identical math to _step_kernel)
+    pltpu.make_async_copy(res_hbm.at[g], res_scr.at[slot], sems.at[slot, 3]).wait()
+    rot = _roll(res_scr[slot], L - position, interpret)
+    rot = jnp.concatenate(
+        [rot[:, :A] - value * d2_ref[pl.ds(atom, 1), :], rot[:, A:]], axis=1
+    )
+    restored = _roll(rot, position, interpret)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    res_scr[slot] = jnp.where(lane < n_samples, restored, 0.0)
+
+    # boundary-tail recompute (Hankel roll ladder + MXU matmul)
+    t = res_scr[slot, :, n_samples - A :]
+    hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
+    shift = 1
+    while shift < A:
+        rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
+        hank_scr[:, :] = jnp.where(
+            (row_ids & shift) != 0, rolled, hank_scr[:, :]
+        )
+        shift *= 2
+    tail_scr[slot] = jax.lax.dot_general(
+        d2_ref[:, :],
+        hank_scr[:, :A],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tail_fm = tail_scr[slot]
+
+    pltpu.make_async_copy(res_scr.at[slot], res_out.at[g], sems.at[slot, 5]).start()
+
+    # gram-slice subtract into the window
+    pltpu.make_async_copy(
+        gram_hbm.at[0], gpad_scr.at[:, : 2 * A], sems.at[slot, 2]
+    ).wait()
+    pltpu.make_async_copy(
+        fm_hbm.at[g, :, : upd_w], win_scr.at[slot], sems.at[slot, 4]
+    ).wait()
+    gpad_scr[:, 2 * A :] = jnp.zeros((N, upd_w - 2 * A), jnp.float32)
+    placed = _roll(gpad_scr[:, :], ustart - ws, interpret)
+    win_scr[slot] = win_scr[slot] - value * placed
+
+    for k in range(upd_blocks):
+        for j in range(tail_nblk):
+
+            @pl.when(ws_blk + k == tail_blk + j)
+            def _(k=k, j=j):
+                win_scr[slot, :, k * block : (k + 1) * block] = tail_fm[
+                    :, j * block : (j + 1) * block
+                ]
+
+    # write-backs: where window and tail overlap the spliced window blocks
+    # EQUAL the tail bytes, so the two in-flight DMAs cannot disagree
+    pltpu.make_async_copy(
+        win_scr.at[slot], fm_out.at[g, :, pl.ds(ws, upd_w)], sems.at[slot, 6]
+    ).start()
+    pltpu.make_async_copy(
+        tail_scr.at[slot], fm_out.at[g, :, pl.ds(tail_start, A)], sems.at[slot, 7]
+    ).start()
+
+    # block-max maintenance into bm_scr[slot], then write the row back
+    wmax = jnp.max(win_scr[slot].reshape(N, upd_blocks, block), axis=-1)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 1)
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 0)
+    placer = (lane_b == ws_blk + row_k).astype(jnp.float32)
+    wplaced = jax.lax.dot_general(
+        wmax,
+        placer,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
+    in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
+    new_bm = jnp.where(in_win, wplaced, bm_scr[slot])
+
+    tmax = jnp.max(tail_fm.reshape(N, tail_nblk, block), axis=-1)
+    tplaced = jnp.concatenate(
+        [
+            jnp.zeros((N, tail_blk), jnp.float32),
+            tmax,
+            jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
+        ],
+        axis=1,
+    )
+    in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
+    bm_scr[slot] = jnp.where(in_tail, tplaced, new_bm)
+    pltpu.make_async_copy(bm_scr.at[slot], bm_out.at[g], sems.at[slot, 8]).start()
+
+    atom_out[g, 0] = atom
+    pos_out[g, 0] = position
+    val_out[g, 0] = value
+
+    # ---- light phase for item g+1 overlaps this item's write-backs
+    @pl.when(g + 1 < n_items)
+    def _():
+        prefetch(g + 1, nslot)
+
+    # ---- epilogue: drain the final write-backs
+    @pl.when(g == n_items - 1)
+    def _():
+        pltpu.make_async_copy(res_scr.at[slot], res_out.at[0], sems.at[slot, 5]).wait()
+        pltpu.make_async_copy(win_scr.at[slot], fm_out.at[0, :, : upd_w], sems.at[slot, 6]).wait()
+        pltpu.make_async_copy(tail_scr.at[slot], fm_out.at[0, :, :A], sems.at[slot, 7]).wait()
+        pltpu.make_async_copy(bm_scr.at[slot], bm_out.at[0], sems.at[slot, 8]).wait()
+        if n_items >= 2:
+            # item n_items-2's write-backs were never drained by a
+            # prefetch (there is no item n_items)
+            pltpu.make_async_copy(res_scr.at[nslot], res_out.at[0], sems.at[nslot, 5]).wait()
+            pltpu.make_async_copy(win_scr.at[nslot], fm_out.at[0, :, : upd_w], sems.at[nslot, 6]).wait()
+            pltpu.make_async_copy(tail_scr.at[nslot], fm_out.at[0, :, :A], sems.at[nslot, 7]).wait()
+            pltpu.make_async_copy(bm_scr.at[nslot], bm_out.at[0], sems.at[nslot, 8]).wait()
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_samples",
+        "atom_size",
+        "block",
+        "pad",
+        "n_blocks",
+        "upd_blocks",
+        "tail_start",
+        "interpret",
+    ),
+)
+def pallas_fused_step_pipelined(
+    fm: jax.Array,
+    bm: jax.Array,
+    residual: jax.Array,
+    d2: jax.Array,
+    gram: jax.Array,
+    *,
+    n_samples: int,
+    atom_size: int,
+    block: int,
+    pad: int,
+    n_blocks: int,
+    upd_blocks: int,
+    tail_start: int,
+    interpret: bool = False,
+):
+    """Cross-item-pipelined fused greedy step (see ``_pipelined_step_kernel``).
+    Same contract and numerics as :func:`pallas_fused_step`."""
+    B, N, W = fm.shape
+    A = atom_size
+    upd_w = upd_blocks * block
+    L = n_samples + A
+    res3 = residual.reshape(B, 1, L)
+    # the bm carry arrives NEG-padded to a 128-multiple lane count (manual
+    # DMA extents must be tiling-aligned; see fast_mp's fused branch)
+    nb_pad = bm.shape[-1]
+    assert nb_pad % 128 == 0, "pipelined kernel needs a lane-padded bm"
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # fm
+        pl.BlockSpec(memory_space=pl.ANY),  # gram
+        pl.BlockSpec(memory_space=pl.ANY),  # residual
+        pl.BlockSpec(memory_space=pl.ANY),  # bm
+        pl.BlockSpec((N, A), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # fm (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),  # residual (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),  # bm (aliased)
+        pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+    kernel = partial(
+        _pipelined_step_kernel,
+        n_samples=n_samples,
+        atom_size=A,
+        block=block,
+        pad=pad,
+        n_blocks=n_blocks,
+        upd_blocks=upd_blocks,
+        tail_start=tail_start,
+        n_items=B,
+        interpret=interpret,
+    )
+
+    fm2, res2, bm2, atom, pos, val = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct(fm.shape, fm.dtype),
+            jax.ShapeDtypeStruct(res3.shape, res3.dtype),
+            jax.ShapeDtypeStruct(bm.shape, bm.dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, N, nb_pad), jnp.float32),
+            pltpu.VMEM((8, block), jnp.float32),
+            pltpu.VMEM((2, 1, L), jnp.float32),
+            pltpu.VMEM((N, upd_w), jnp.float32),
+            pltpu.VMEM((2, N, upd_w), jnp.float32),
+            pltpu.VMEM((A, 2 * A), jnp.float32),
+            pltpu.VMEM((2, N, A), jnp.float32),
+            pltpu.SMEM((2, 4), jnp.int32),
+            pltpu.SMEM((2, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ],
+        input_output_aliases={0: 0, 2: 1, 3: 2},
+        interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(has_side_effects=True)
+            if not interpret and PALLAS_AVAILABLE
+            else None
+        ),
+    )(fm, gram, res3, bm, d2)
+    return fm2, bm2, res2.reshape(B, L), atom[:, 0], pos[:, 0], val[:, 0]
+
+
 def fused_step_applicable(
     n_samples: int, atom_size: int, block: int, pad: int, n_atoms: int
 ) -> bool:

@@ -72,7 +72,19 @@ def main():
     p.add_argument("--attn-floor", type=float, default=0.01)
     p.add_argument("--attn-leak", type=float, default=0.1)
     p.add_argument("--waveform-weight", type=float, default=0.0)
-    p.add_argument("--switch-clamp", type=float, default=100.0)
+    p.add_argument("--switch-clamp", type=float, default=20.0,
+                   help="cap on selected event amplitude; the r3 run that "
+                        "diverged rode its STE-clamped switches into the "
+                        "old cap of 100 before the gradients went "
+                        "non-finite, so keep this within ~10x of the "
+                        "healthy sched_max (~2 in the quality runs)")
+    p.add_argument("--grad-clip", type=float, default=1e3,
+                   help="global-norm gradient clip (traced; changing it "
+                        "never recompiles)")
+    p.add_argument("--spike-thresh", type=float, default=1e5,
+                   help="a sampled loss above this triggers rollback to "
+                        "the last good snapshot and halves the lr "
+                        "multiplier")
     p.add_argument("--residual-clamp", type=float, default=4.0)
     p.add_argument("--encoder-clamp", type=float, default=1e4,
                    help="per-block activation clip in the gated encoder "
@@ -83,7 +95,7 @@ def main():
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--out", type=str, default="trained_weights/siam_overfit")
     p.add_argument("--watchdog-s", type=int, default=12600)
-    p.add_argument("--stall-s", type=int, default=900)
+    p.add_argument("--stall-s", type=int, default=2400)
     p.add_argument("--target-snr", type=float, default=0.0,
                    help="stop early once first-half SNR exceeds this (dB); "
                         "0 disables")
@@ -131,7 +143,7 @@ def main():
     params = jax.jit(model.init)(key, target, key)
     opt = optimizer(lr=args.lr, b1=0.9, b2=0.999)
     opt_state = opt.init(params)
-    ckpt = CheckpointManager(args.out, every=500)
+    ckpt = CheckpointManager(args.out, every=250)
     start_step = 0
     if args.resume:
         payload = ckpt.latest()
@@ -174,12 +186,14 @@ def main():
         return loss, (recon, wave)
 
     @jax.jit
-    def train_step(params, opt_state, key, wave_w):
+    def train_step(params, opt_state, key, wave_w, clip, lr_mult):
         (loss, (recon, wave)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, key, wave_w)
         gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, 5e4 / jnp.maximum(gnorm, 1e-12))
+        # clip and lr_mult are TRACED so divergence recovery can tighten
+        # them mid-run without paying a remote recompile
+        scale = lr_mult * jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, new_opt = opt.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -190,7 +204,7 @@ def main():
         opt_out = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
         )
-        return params_out, opt_out, loss, wave, ok
+        return params_out, opt_out, loss, wave, gnorm, ok
 
     @jax.jit
     def reconstruct(params, key):
@@ -225,28 +239,56 @@ def main():
     run_start = time.perf_counter()
     best_snr = -np.inf
     nan_steps = 0
-    nan_streak = 0
+    bad_streak = 0
+    rollbacks = 0
+    lr_mult = 1.0
+    # divergence insurance: snapshot (refs, zero copy cost) of the last
+    # params/opt_state that produced a healthy sampled loss; the r3 run
+    # that froze at loss 4.1e7 had garbage-collected every pre-explosion
+    # checkpoint, so recovery must live in-process
+    good = (params, opt_state, start_step)
     last_i = start_step
     for i in range(start_step, args.iterations):
         last_i = i
         step_key = noise_key if args.fixed_noise else jax.random.fold_in(key, i)
-        params, opt_state, loss, wave, ok = train_step(
-            params, opt_state, step_key, jnp.float32(args.waveform_weight)
+        params, opt_state, loss, wave, gnorm, ok = train_step(
+            params, opt_state, step_key,
+            jnp.float32(args.waveform_weight),
+            jnp.float32(args.grad_clip),
+            jnp.float32(lr_mult),
         )
         if i % 25 == 0:
             faulthandler.cancel_dump_traceback_later()
             faulthandler.dump_traceback_later(args.stall_s, exit=True)
             l = float(loss)
             nan_steps += int(not bool(ok))
-            nan_streak = nan_streak + 1 if not np.isfinite(l) else 0
+            bad = (not np.isfinite(l)) or l > args.spike_thresh or not bool(ok)
+            bad_streak = bad_streak + 1 if bad else 0
             metrics["losses"].append([i, round(l, 2)])
-            print(f"iter {i} loss {l:.2f} wave {float(wave):.4f}", flush=True)
-            if nan_streak >= 3:
-                # fixed input + the finite-gate freezing params means a
-                # deterministic NaN forward can never recover — abort
-                print("ABORT: persistent non-finite forward", flush=True)
-                break
+            print(
+                f"iter {i} loss {l:.2f} wave {float(wave):.4f} "
+                f"gnorm {float(gnorm):.1f} lr_mult {lr_mult:g}",
+                flush=True,
+            )
+            if bad:
+                # the loss is deterministic (fixed input, fixed noise), so
+                # a rejected/exploded state can never recover on its own:
+                # restore the last good snapshot and halve the step size
+                params, opt_state, good_step = good
+                lr_mult *= 0.5
+                rollbacks += 1
+                print(
+                    f"ROLLBACK #{rollbacks} to step {good_step}; "
+                    f"lr_mult -> {lr_mult:g}",
+                    flush=True,
+                )
+                bad_streak = 0
+                if rollbacks >= 8:
+                    print("ABORT: persistent divergence", flush=True)
+                    break
         if i % args.eval_every == 0:
+            if bad_streak == 0 and i > start_step:
+                good = (params, opt_state, i)
             eval_key = noise_key if args.fixed_noise else jax.random.PRNGKey(7)
             recon, sched_max = reconstruct(params, eval_key)
             s_half = float(snr_db(target[..., :half], recon[..., :half]))
@@ -260,6 +302,8 @@ def main():
                 "full_snr_db": round(s_full, 3),
                 "sched_max": round(float(sched_max), 4),
                 "nan_steps_so_far": nan_steps,
+                "lr_mult": lr_mult,
+                "rollbacks": rollbacks,
             }
             metrics["eval"].append(entry)
             print("eval", json.dumps(entry), flush=True)

@@ -132,3 +132,24 @@ def test_fast_boundary_clipping_parity():
     np.testing.assert_allclose(
         np.asarray(a.residual), np.asarray(b.residual), rtol=1e-3, atol=1e-5
     )
+
+
+def test_pipelined_fused_kernel_matches_original():
+    """The cross-item-pipelined kernel must be bit-identical to the
+    original fused kernel (and hence the naive engine) — including odd
+    batch sizes and the B=1 prologue/epilogue edge."""
+    d = jnp.asarray(RNG.standard_normal((16, 128)).astype(np.float32))
+    for batch in (1, 3, 4):
+        sig = jnp.asarray(
+            RNG.standard_normal((batch, 1, 1024)).astype(np.float32)
+        )
+        a = sparse_code_fast(
+            sig, d, n_steps=7, block=128, fused=True, pipelined=False
+        )
+        b = sparse_code_fast(
+            sig, d, n_steps=7, block=128, fused=True, pipelined=True
+        )
+        _assert_same_events(a, b)
+        np.testing.assert_array_equal(
+            np.asarray(a.residual), np.asarray(b.residual)
+        )

@@ -49,6 +49,7 @@ from .event_variants import (
 )
 from .instrument import InstrumentLayer, InstrumentStack
 from .goo import SpringMesh, string_mesh, simulate as goo_simulate, pluck_forces
+from .roomsim import RoomModel, roomsim
 from .energy import (
     EnergyInstrumentModel,
     EnergyBlock,
@@ -71,6 +72,8 @@ from .lookups import (
 )
 
 __all__ = [
+    "RoomModel",
+    "roomsim",
     "EventGenerator",
     "ShapeSpec",
     "DiracScheduler",

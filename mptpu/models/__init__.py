@@ -10,6 +10,13 @@ from .multiresolution import BandEncoder, EncoderShell, ConvBandDecoder, Decoder
 from .inference import SIAMCodec, SIAMEncoding
 from .instrument import PlayableInstrument, damped_sequential
 from .songsplat import SongSplatModel
+from .funcsong import FuncSong, song_pos_encoding
+from .audiooperator import (
+    AudioOperator,
+    band_pos_encode,
+    envelope_loss,
+    generate_training_batch,
+)
 
 __all__ = [
     "PlayableInstrument",
@@ -33,4 +40,10 @@ __all__ = [
     "DecoderShell",
     "SIAMCodec",
     "SIAMEncoding",
+    "FuncSong",
+    "song_pos_encoding",
+    "AudioOperator",
+    "band_pos_encode",
+    "envelope_loss",
+    "generate_training_batch",
 ]

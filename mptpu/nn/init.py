@@ -15,3 +15,13 @@ def uniform_init(scale: float = 0.1):
         )
 
     return init
+
+
+def uniform_range_init(low: float, high: float):
+    """flax-compatible initializer: uniform in [low, high] (the
+    reference's ``tensor.uniform_(a, b)`` idiom)."""
+
+    def init(key, shape, dtype=jax.numpy.float32):
+        return jax.random.uniform(key, shape, dtype, minval=low, maxval=high)
+
+    return init

@@ -23,6 +23,7 @@ class ResidualBlock(nn.Module):
     shortcut: bool = True
     unit_norm_out: bool = False
     init_scale: float = 0.1
+    activation: Callable = _leaky_relu
 
     @nn.compact
     def __call__(self, x):
@@ -33,12 +34,12 @@ class ResidualBlock(nn.Module):
             bias_init=nn.initializers.zeros,
         )
         x = nn.Dense(self.channels, **kw)(x)
-        x = _leaky_relu(x)
+        x = self.activation(x)
         x = nn.Dense(self.channels, **kw)(x)
         if self.shortcut:
-            x = _leaky_relu(shortcut + x)
+            x = self.activation(shortcut + x)
         else:
-            x = _leaky_relu(x)
+            x = self.activation(x)
         if self.unit_norm_out:
             x = unit_norm(x, axis=-1)
         return x
@@ -51,6 +52,7 @@ class ResidualStack(nn.Module):
     shortcut: bool = True
     unit_norm_out: bool = False
     init_scale: float = 0.1
+    activation: Callable = _leaky_relu
 
     @nn.compact
     def __call__(self, x):
@@ -61,6 +63,7 @@ class ResidualStack(nn.Module):
                 shortcut=self.shortcut,
                 unit_norm_out=self.unit_norm_out,
                 init_scale=self.init_scale,
+                activation=self.activation,
             )(x)
         return x
 
@@ -78,6 +81,7 @@ class LinearOutputStack(nn.Module):
     shortcut: bool = True
     unit_norm_out: bool = False
     init_scale: float = 0.1
+    activation: Callable = _leaky_relu
 
     @nn.compact
     def __call__(self, x):
@@ -95,6 +99,7 @@ class LinearOutputStack(nn.Module):
             shortcut=self.shortcut,
             unit_norm_out=self.unit_norm_out,
             init_scale=self.init_scale,
+            activation=self.activation,
         )(x)
         x = nn.Dense(out_channels, use_bias=out_channels > 1, **kw)(x)
         return x

@@ -1,195 +1,176 @@
-"""Long-tail experiment components (reference spiking.py / energy.py /
-resonancemodel.py / freqdomain.py — SURVEY §2.4 long tail)."""
+"""Long-tail experiment coverage: funcsong, audiooperator, roomsim/voxel,
+phaseinvariance (reference scratch scripts ``funcsong.py``,
+``audiooperator.py``, ``roomsim.py``, ``voxel.py``,
+``phaseinvariance.py``)."""
 
-import numpy as np
 import jax
 import jax.numpy as jnp
+import numpy as np
+import optax
 import pytest
 
-
-class TestAutocorrelationLoss:
-    def test_identical_audio_zero_loss(self):
-        from mptpu.losses.autocorrelation import AutocorrelationLoss
-
-        ac = AutocorrelationLoss(n_channels=8, filter_size=64)
-        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 1024)) * 0.1
-        assert float(ac(x, x)) == 0.0
-        y = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1024)) * 0.1
-        assert float(ac(x, y)) > 0.0
-
-    def test_multiband_loss_runs(self):
-        from mptpu.losses.autocorrelation import AutocorrelationLoss
-
-        ac = AutocorrelationLoss(n_channels=8, filter_size=64)
-        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 2048)) * 0.1
-        y = x * 0.5
-        l = float(ac.multiband_loss(x, y, min_size=512))
-        assert np.isfinite(l) and l > 0
+from mptpu.gen.roomsim import RoomModel, roomsim
+from mptpu.models.audiooperator import (
+    AudioOperator,
+    band_pos_encode,
+    envelope_loss,
+    generate_training_batch,
+)
+from mptpu.models.funcsong import (
+    FuncSong,
+    count_parameters,
+    song_pos_encoding,
+)
 
 
-class TestDecayLoss:
-    def test_penalizes_non_decaying_envelopes(self):
-        from mptpu.losses.autocorrelation import DecayLoss
-
-        n = 4096
-        dl = DecayLoss(n, n_decays=8, window_size=256)
-        t = np.arange(n) / 22050
-        tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
-        decaying = jnp.asarray((tone * np.exp(-6 * t / t[-1])).reshape(1, 1, -1))
-        growing = jnp.asarray((tone * np.exp(+6 * (t / t[-1] - 1))).reshape(1, 1, -1))
-        # growing envelopes leave more post-average rectified energy
-        f_dec = float(jnp.sum(dl.features(decaying)))
-        f_grow = float(jnp.sum(dl.features(growing)))
-        assert f_grow > f_dec
-        assert float(dl(decaying, decaying)) == 0.0
-
-
-class TestEnergyModel:
-    def test_forward_shapes_and_discontinuity(self):
-        from mptpu.gen.energy import (
-            EnergyInstrumentModel,
-            compute_discontinuity,
-            to_blocks,
-            blocks_to_samples,
-        )
-
-        n = 2048
-        model = EnergyInstrumentModel(
-            input_channels=1, model_channels=16, block_size=128, n_layers=2
-        )
-        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, n)) * 0.1
-        params = model.init(jax.random.PRNGKey(1), x)
-        out = model.apply(params, x)
-        assert out.shape == (1, 1, n)
-        assert np.all(np.isfinite(np.asarray(out)))
-
-        b = to_blocks(out, 128)
-        assert b.shape == (1, 1, n // 128, 128)
-        np.testing.assert_array_equal(
-            np.asarray(blocks_to_samples(b)), np.asarray(out)
-        )
-        smooth = jnp.ones((1, 1, 4, 8))
-        assert float(compute_discontinuity(smooth)) == 0.0
-        jumpy = jnp.ones((1, 1, 4, 8)).at[0, 0, 1, 0].set(5.0)
-        assert float(compute_discontinuity(jumpy)) > 0.0
-
-    def test_overfit_reduces_loss(self):
-        import optax
-        from mptpu.gen.energy import EnergyInstrumentModel
-        from mptpu.ops.stft import stft
-
-        n = 1024
-        target = jax.random.normal(jax.random.PRNGKey(3), (1, 1, n)) * 0.1
-        model = EnergyInstrumentModel(
-            input_channels=1, model_channels=16, block_size=64, n_layers=1
-        )
-        ctrl = jnp.zeros((1, 1, n)).at[0, 0, ::128].set(0.5)
-        params = model.init(jax.random.PRNGKey(0), ctrl)
-        opt = optax.adam(1e-2)
-        st = opt.init(params)
-
-        def loss_fn(p):
-            r = model.apply(p, ctrl)
-            return jnp.abs(
-                stft(r, 256, 128, pad=True) - stft(target, 256, 128, pad=True)
-            ).sum()
-
-        @jax.jit
-        def step(p, st):
-            l, g = jax.value_and_grad(loss_fn)(p)
-            u, st = opt.update(g, st, p)
-            return optax.apply_updates(p, u), st, l
-
-        l0 = None
-        for _ in range(30):
-            params, st, l = step(params, st)
-            l0 = l0 if l0 is not None else float(l)
-        assert float(l) < l0
-
-
-def test_conv_upsample_learned_mode_doubles_exactly():
-    """Regression: flax ConvTranspose with explicit [(1,1)] padding gives
-    2*in - 2 per layer; learned mode must double exactly or every
-    downstream reshape (GenerateImpulse, NoiseModel) breaks."""
-    from mptpu.nn.upsample import ConvUpsample
-
-    m = ConvUpsample(
-        8, 16, start_size=4, end_size=64, mode="learned", out_channels=3
+def test_funcsong_forward_and_descent():
+    model = FuncSong(
+        segment_size=256, in_channels=8, hidden_channels=16, n_layers=2,
+        n_resonances=8,
     )
-    p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))
-    out = m.apply(p, jnp.zeros((2, 8)))
-    assert out.shape == (2, 3, 64)
+    pos = jax.vmap(
+        lambda s: song_pos_encoding(s, 256, 4096, 8)
+    )(jnp.asarray([0, 512], dtype=jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), pos)
+    out = model.apply(params, pos)
+    assert out.shape == (2, 1, 256)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert count_parameters(params) > 0
+
+    target = jnp.sin(jnp.linspace(0, 40 * np.pi, 256)).reshape(1, 1, -1)
+    target = jnp.broadcast_to(target, (2, 1, 256))
+
+    def loss_fn(p):
+        return jnp.mean((model.apply(p, pos) - target) ** 2)
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    first = float(loss_fn(params))
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    for _ in range(30):
+        params, state, loss = step(params, state)
+    assert float(loss) < first
 
 
-def test_conv_impulse_event_generator_end_to_end():
-    """Regression: the learned-upsampler fix unbroke this generator's
-    GenerateImpulse path (reference ``eventgenerators/convimpulse.py:85``)."""
-    from mptpu.gen.convimpulse import ConvImpulseEventGenerator
+def test_song_pos_encoding_is_absolute():
+    # same crop content, different absolute position -> different features
+    a = song_pos_encoding(jnp.int32(0), 128, 4096, 8)
+    b = song_pos_encoding(jnp.int32(1024), 128, 4096, 8)
+    assert a.shape == (8, 128)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
 
-    m = ConvImpulseEventGenerator(
-        context_dim=16, impulse_size=4096, resonance_size=8192,
-        samplerate=22050, n_samples=2**13, n_events=1,
+
+def test_audiooperator_batch_rasterization():
+    target, starts, durs, envs = generate_training_batch(
+        jax.random.PRNGKey(0), 4, 1024, 32
     )
-    vecs = jax.random.normal(jax.random.PRNGKey(0), (1, 16)) * 0.1
-    times = jnp.zeros((1, 1, 2**13 // 256)).at[0, 0, 3].set(1.0)
-    p = m.init(jax.random.PRNGKey(0), vecs, times, jax.random.PRNGKey(1))
-    out = m.apply(p, vecs, times, jax.random.PRNGKey(1))
-    assert out.shape == (1, 1, 8192)
-    assert bool(jnp.isfinite(out).all())
-    assert float(jnp.sqrt(jnp.mean(out**2))) > 0
+    assert target.shape == (4, 1, 1024)
+    t = np.asarray(target)
+    s = np.asarray(jnp.floor(starts * 1024)).astype(int)
+    d = np.asarray(jnp.floor(durs * 1024)).astype(int)
+    for i in range(4):
+        # energy confined to [start, start + duration)
+        before = t[i, 0, : s[i]]
+        assert np.all(before == 0.0)
+        end = min(s[i] + d[i], 1024)
+        assert np.all(t[i, 0, end:] == 0.0)
+        if end - s[i] > 2:
+            assert t[i, 0, s[i]:end].max() > 0.0
 
 
-def test_generate_impulse_shapes():
-    from mptpu.gen.impulse import GenerateImpulse
+def test_audiooperator_forward_and_loss():
+    n_bands, model_dim = 8, 16
+    model = AudioOperator(
+        envelope_resolution=16, latent_dim=4,
+        pos_encoding_dim=n_bands * 2, model_dim=model_dim,
+    )
+    key = jax.random.PRNGKey(1)
+    target, starts, durs, envs = generate_training_batch(key, 2, 512, 16)
+    latents = jax.random.uniform(key, (2, 1, 4), minval=-1, maxval=1)
+    times = jnp.broadcast_to(
+        jnp.linspace(0, 1, 512).reshape(1, 1, -1), (2, 1, 512)
+    )
+    te = band_pos_encode(times, n_bands)
+    es = band_pos_encode(starts.reshape(-1, 1, 1), n_bands).reshape(2, 1, -1)
+    ed = band_pos_encode(durs.reshape(-1, 1, 1), n_bands).reshape(2, 1, -1)
+    params = model.init(key, es, ed, envs[:, None, :], latents, te)
+    recon = model.apply(params, es, ed, envs[:, None, :], latents, te)
+    assert recon.shape == (2, 1, 512)
+    loss = envelope_loss(target, recon, 64, 16)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(
+        lambda p: envelope_loss(
+            target, model.apply(p, es, ed, envs[:, None, :], latents, te),
+            64, 16,
+        )
+    )(params)
+    gn = float(optax.global_norm(grads))
+    assert np.isfinite(gn) and gn > 0
 
-    m = GenerateImpulse(16, 32, 4096, 16, 1)
-    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)), jax.random.PRNGKey(1))
-    out = m.apply(p, jnp.zeros((1, 16)), jax.random.PRNGKey(1))
-    assert out.shape == (1, 1, 4096)
+
+def test_band_pos_encode_interleaves():
+    x = jnp.ones((1, 1, 4)) * 0.5
+    out = band_pos_encode(x, 3, min_freq=1.0, max_freq=3.0)
+    assert out.shape == (1, 1, 6, 4)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0, 0]), np.sin(0.5 * np.ones(4)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0, 1]), np.cos(0.5 * np.ones(4)), rtol=1e-6
+    )
 
 
-class TestTextureFeatures:
-    def test_kurtosis_matches_reference_formula(self):
-        import torch
-        from mptpu.perceptual.texture import calculate_kurtosis
+def test_roomsim_shapes_and_propagation():
+    bs, nf, W, H, D = 32, 8, 3, 4, 5
+    nc = bs // 2 + 1
+    transfer = jnp.full((nc, W, H, D), 0.99).at[0].set(0.0)
+    control = (
+        jnp.zeros((nf, bs, W, H, D))
+        .at[0, :, 1, 1, 2]
+        .set(jnp.sin(jnp.linspace(0, 6.28, bs)))
+    )
+    rec, frames = jax.jit(roomsim)(transfer, control)
+    assert rec.shape == (nf * bs,)
+    assert frames.shape == (nf, W, H)
+    r = np.asarray(rec)
+    assert np.all(np.isfinite(r)) and np.abs(r).max() > 0
+    # energy spreads: by the last frame more than one voxel is lit
+    f = np.asarray(frames)
+    assert (f[-1] > 1e-9).sum() > (f[0] > 1e-9).sum()
 
-        x = np.random.default_rng(0).standard_normal((2, 4, 256)).astype(np.float32)
-        ours = np.asarray(calculate_kurtosis(jnp.asarray(x)))
-        # reference texture.py:18-24 (torch.std is the unbiased estimator)
-        t = torch.from_numpy(x)
-        mean = torch.mean(t, dim=-1, keepdim=True)
-        std = torch.std(t, dim=-1, keepdim=True)
-        fourth = torch.mean((t - mean) ** 4, dim=-1, keepdim=True)
-        theirs = (fourth / (std**4)) - 3
-        np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-3, atol=1e-4)
 
-    def test_statistics_matching_reduces_loss(self):
-        import optax
-        from mptpu.ops.norms import max_norm
-        from mptpu.perceptual.texture import AudioTextureFeatures
-        from mptpu.data.synthetic import synthetic_audio
+def test_room_model_differentiable():
+    model = RoomModel(room_size=3, voxel_size=16, n_frames=4)
+    params = model.init(jax.random.PRNGKey(0))
+    out = model.apply(params)
+    assert out.shape == (1, 1, 64)
 
-        n = 2**12
-        target = jnp.asarray(synthetic_audio(n, seed=11)).reshape(1, 1, n)
-        feats = AudioTextureFeatures(n, n_filters=8, filter_size=64,
-                                     min_band_size=512)
-        tf = feats(target)
-        assert np.isfinite(np.asarray(tf)).all()
+    g = jax.grad(lambda p: jnp.sum(model.apply(p) ** 2))(params)
+    gn = float(optax.global_norm(g))
+    assert np.isfinite(gn) and gn > 0
 
-        params = jax.random.normal(jax.random.PRNGKey(0), target.shape) * 0.01
-        opt = optax.adam(1e-2)
-        opt_state = opt.init(params)
 
-        @jax.jit
-        def step(p, s):
-            def loss_fn(pp):
-                return jnp.abs(feats(max_norm(pp)) - tf).sum()
-            l, g = jax.value_and_grad(loss_fn)(p)
-            u, s = opt.update(g, s, p)
-            return optax.apply_updates(p, u), s, l
+def test_phase_invariant_overfit_converges():
+    """The phaseinvariance experiment core: raw audio fit through a
+    mag-spec transform reduces transform-space loss (reference
+    ``phaseinvariance.py:113-141``)."""
+    from mptpu.ops.stft import stft
+    from mptpu.train.overfit import overfit_model
 
-        losses = []
-        for _ in range(25):
-            params, opt_state, l = step(params, opt_state)
-            losses.append(float(l))
-        assert losses[-1] < losses[0] * 0.7
+    t = jnp.sin(jnp.linspace(0, 100 * np.pi, 2048)).reshape(1, 1, -1)
+    real = stft(t, 256, 128, pad=True)
+
+    def loss_fn(params, tgt, key):
+        return jnp.mean((stft(params["audio"], 256, 128, pad=True) - real) ** 2)
+
+    init = {"audio": jnp.zeros_like(t) + 1e-4}
+    params, losses = overfit_model(
+        init, loss_fn, t, n_iterations=30, lr=1e-2, log_every=29
+    )
+    assert losses[-1] < losses[0]

@@ -11,6 +11,7 @@ from .inference import SIAMCodec, SIAMEncoding
 from .instrument import PlayableInstrument, damped_sequential
 from .songsplat import SongSplatModel
 from .funcsong import FuncSong, song_pos_encoding
+from .textural import TexturalModel, confidence_loss
 from .audiooperator import (
     AudioOperator,
     band_pos_encode,
@@ -40,6 +41,8 @@ __all__ = [
     "DecoderShell",
     "SIAMCodec",
     "SIAMEncoding",
+    "TexturalModel",
+    "confidence_loss",
     "FuncSong",
     "song_pos_encoding",
     "AudioOperator",

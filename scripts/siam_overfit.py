@@ -239,14 +239,31 @@ def main():
     run_start = time.perf_counter()
     best_snr = -np.inf
     nan_steps = 0
-    bad_streak = 0
     rollbacks = 0
+    good_streak = 0
     lr_mult = 1.0
+    gnorm_hist: list[float] = []
     # divergence insurance: snapshot (refs, zero copy cost) of the last
-    # params/opt_state that produced a healthy sampled loss; the r3 run
-    # that froze at loss 4.1e7 had garbage-collected every pre-explosion
-    # checkpoint, so recovery must live in-process
+    # params/opt_state whose HEALTH WAS VERIFIED (finite forward AND
+    # sched_max well below the switch clamp). The first r3 run's eval
+    # snapshot captured already-poisoned params (loss 44.78 looked fine
+    # while sched_max sat at the clamp and SNR was -24.9 dB), so a
+    # healthy-looking loss is NOT a sufficient snapshot condition.
     good = (params, opt_state, start_step)
+
+    def rollback(i):
+        nonlocal params, opt_state, lr_mult, rollbacks, good_streak, gnorm_hist
+        params, opt_state, good_step = good
+        lr_mult *= 0.5
+        rollbacks += 1
+        good_streak = 0
+        gnorm_hist = []
+        print(
+            f"ROLLBACK #{rollbacks} at iter {i} to step {good_step}; "
+            f"lr_mult -> {lr_mult:g}",
+            flush=True,
+        )
+
     last_i = start_step
     for i in range(start_step, args.iterations):
         last_i = i
@@ -257,38 +274,61 @@ def main():
             jnp.float32(args.grad_clip),
             jnp.float32(lr_mult),
         )
+        # per-step health check: divergence poisons the params within
+        # ~25 steps (r3 run #1), so sampled checking is too slow. The
+        # float() sync is ~ms against a ~1s step.
+        l = float(loss)
+        g = float(gnorm)
+        nan_steps += int(not bool(ok))
+        # relative AND absolute: early training legitimately grows gnorm
+        # 10-20x as the model warms up, so a pure-relative trigger would
+        # fire spuriously; the r3 explosion was 30x relative AND 50x the
+        # clip level
+        spiked = (
+            len(gnorm_hist) >= 10
+            and g > 20.0 * float(np.median(gnorm_hist))
+            and g > 10.0 * args.grad_clip
+        )
+        bad = (not np.isfinite(l)) or l > args.spike_thresh \
+            or not bool(ok) or spiked
+        if bad:
+            print(
+                f"iter {i} BAD: loss {l:.2f} gnorm {g:.1f} ok {bool(ok)} "
+                f"spiked {spiked}",
+                flush=True,
+            )
+            rollback(i)
+            if rollbacks >= 12:
+                print("ABORT: persistent divergence", flush=True)
+                break
+            continue
+        gnorm_hist.append(g)
+        if len(gnorm_hist) > 40:
+            gnorm_hist.pop(0)
+        good_streak += 1
+        if good_streak >= 500 and lr_mult < 1.0:
+            lr_mult = min(1.0, lr_mult * 2.0)
+            good_streak = 0
+            print(f"lr_mult recovered -> {lr_mult:g}", flush=True)
         if i % 25 == 0:
             faulthandler.cancel_dump_traceback_later()
             faulthandler.dump_traceback_later(args.stall_s, exit=True)
-            l = float(loss)
-            nan_steps += int(not bool(ok))
-            bad = (not np.isfinite(l)) or l > args.spike_thresh or not bool(ok)
-            bad_streak = bad_streak + 1 if bad else 0
             metrics["losses"].append([i, round(l, 2)])
             print(
                 f"iter {i} loss {l:.2f} wave {float(wave):.4f} "
-                f"gnorm {float(gnorm):.1f} lr_mult {lr_mult:g}",
+                f"gnorm {g:.1f} lr_mult {lr_mult:g}",
                 flush=True,
             )
-            if bad:
-                # the loss is deterministic (fixed input, fixed noise), so
-                # a rejected/exploded state can never recover on its own:
-                # restore the last good snapshot and halve the step size
-                params, opt_state, good_step = good
-                lr_mult *= 0.5
-                rollbacks += 1
-                print(
-                    f"ROLLBACK #{rollbacks} to step {good_step}; "
-                    f"lr_mult -> {lr_mult:g}",
-                    flush=True,
-                )
-                bad_streak = 0
-                if rollbacks >= 8:
-                    print("ABORT: persistent divergence", flush=True)
-                    break
-        if i % args.eval_every == 0:
-            if bad_streak == 0 and i > start_step:
+        if i % 50 == 0 and i > start_step:
+            # snapshot only a VERIFIED-healthy state: finite forward and
+            # switches clearly away from the clamp (an extra forward,
+            # ~1% overhead at this cadence)
+            _, snap_sched = reconstruct(
+                params, noise_key if args.fixed_noise else jax.random.PRNGKey(7)
+            )
+            if float(snap_sched) < 0.8 * args.switch_clamp:
                 good = (params, opt_state, i)
+        if i % args.eval_every == 0:
             eval_key = noise_key if args.fixed_noise else jax.random.PRNGKey(7)
             recon, sched_max = reconstruct(params, eval_key)
             s_half = float(snr_db(target[..., :half], recon[..., :half]))

@@ -174,3 +174,44 @@ def test_phase_invariant_overfit_converges():
         init, loss_fn, t, n_iterations=30, lr=1e-2, log_every=29
     )
     assert losses[-1] < losses[0]
+
+
+def test_textural_model_descends():
+    """Hierarchical splitter-tree texture model (reference
+    ``textural.py:44-131``): forward shapes, finite output, loss
+    descends under the stft + confidence objective."""
+    from mptpu.models.textural import TexturalModel, confidence_loss
+    from mptpu.ops.stft import stft
+
+    m = TexturalModel(
+        n_samples=2**10, n_events=8, n_atoms=4, atom_size=64, latent_dim=4
+    )
+    p = m.init(jax.random.PRNGKey(0))
+    out, logits = jax.jit(m.apply)(p)
+    assert out.shape == (1, 1, 2**10)
+    assert logits.shape == (1, 8, 10, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    t = jnp.sin(jnp.linspace(0, 60 * np.pi, 2**10)).reshape(1, 1, -1)
+    ts = stft(t, 256, 64, pad=True)
+
+    def loss_fn(p):
+        r, lg = m.apply(p)
+        return (
+            jnp.sum(jnp.abs(stft(r, 256, 64, pad=True) - ts))
+            + 0.5 * confidence_loss(lg)
+        )
+
+    opt = optax.adam(1e-2)
+    s = opt.init(p)
+    first = float(loss_fn(p))
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    for _ in range(30):
+        p, s, loss = step(p, s)
+    assert float(loss) < first

@@ -73,17 +73,33 @@ def main():
     d = jnp.asarray(d_np)
     sig = jnp.asarray(sig_np)
 
-    # the fully-fused Pallas step kernel (mptpu/sparse/pallas_fused_mp.py):
-    # ~2.4x the round-1 block-argmax engine at this config
-    coder = jax.jit(
-        lambda s, d: sparse_code_fast(s, d, n_steps=n_steps, fused=True)
-    )
+    # the fully-fused Pallas step kernel (mptpu/sparse/pallas_fused_mp.py),
+    # cross-item DMA-pipelined by default; if the pipelined variant is
+    # rejected by the compiler on this toolchain, fall back to the
+    # (equally exact) non-pipelined kernel rather than failing the bench
+    def make_coder(pipelined):
+        return jax.jit(
+            lambda s, d: sparse_code_fast(
+                s, d, n_steps=n_steps, fused=True, pipelined=pipelined
+            )
+        )
+
     # compile + warm up: the axon backend defers heavy work past
     # block_until_ready, so force a device->host transfer of a value that
     # depends on every step. Compile time is surfaced in the JSON so
     # round-over-round regressions are visible (VERDICT r1 item 9).
+    kernel = "fused_pipelined"
+    coder = make_coder(True)
     t0 = time.perf_counter()
-    float(coder(sig, d).values.sum())
+    try:
+        float(coder(sig, d).values.sum())
+    except Exception as e:
+        print(f"pipelined kernel unavailable ({type(e).__name__}); "
+              "falling back", file=sys.stderr)
+        kernel = "fused"
+        coder = make_coder(False)
+        t0 = time.perf_counter()
+        float(coder(sig, d).values.sum())
     compile_s = time.perf_counter() - t0
     float(coder(sig, d).values.sum())
     # timed runs
@@ -111,6 +127,7 @@ def main():
         "unit": "atoms/sec/chip (512 atoms x 512 taps, 16k samples, 100 steps, batch 32)",
         "vs_baseline": round(tpu_atoms_per_sec / cpu_aps, 2),
         "compile_s": round(compile_s, 1),
+        "kernel": kernel,
         "cpu_ref_aps": round(cpu_aps, 3),
         "cpu_ref_note": "numpy greedy loop, batch 1 x 10 steps, best of 2 "
         "(the CPU's best measured operating point; CPU aps FALLS with "

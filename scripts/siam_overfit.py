@@ -265,6 +265,7 @@ def main():
         )
 
     last_i = start_step
+    pending = None  # (i, loss, wave, gnorm, ok) of the PREVIOUS step
     for i in range(start_step, args.iterations):
         last_i = i
         step_key = noise_key if args.fixed_noise else jax.random.fold_in(key, i)
@@ -274,9 +275,17 @@ def main():
             jnp.float32(args.grad_clip),
             jnp.float32(lr_mult),
         )
-        # per-step health check: divergence poisons the params within
-        # ~25 steps (r3 run #1), so sampled checking is too slow. The
-        # float() sync is ~ms against a ~1s step.
+        # every-step health check, pipelined: float() the PREVIOUS step's
+        # scalars while this step runs on device — a synchronous per-step
+        # fetch serializes the remote relay and cost ~4x step time
+        # (measured r3 run #3). Detection lags one step; rollback restores
+        # a verified snapshot, so one extra poisoned update is harmless.
+        this = (i, loss, wave, gnorm, ok)
+        if pending is None:
+            pending = this
+            continue
+        ci, loss, wave, gnorm, ok = pending
+        pending = this
         l = float(loss)
         g = float(gnorm)
         nan_steps += int(not bool(ok))
@@ -293,11 +302,14 @@ def main():
             or not bool(ok) or spiked
         if bad:
             print(
-                f"iter {i} BAD: loss {l:.2f} gnorm {g:.1f} ok {bool(ok)} "
+                f"iter {ci} BAD: loss {l:.2f} gnorm {g:.1f} ok {bool(ok)} "
                 f"spiked {spiked}",
                 flush=True,
             )
-            rollback(i)
+            rollback(ci)
+            # the in-flight step's stats describe pre-rollback params;
+            # checking them next iteration would re-trigger immediately
+            pending = None
             if rollbacks >= 12:
                 print("ABORT: persistent divergence", flush=True)
                 break
@@ -310,12 +322,12 @@ def main():
             lr_mult = min(1.0, lr_mult * 2.0)
             good_streak = 0
             print(f"lr_mult recovered -> {lr_mult:g}", flush=True)
-        if i % 25 == 0:
+        if ci % 25 == 0:
             faulthandler.cancel_dump_traceback_later()
             faulthandler.dump_traceback_later(args.stall_s, exit=True)
-            metrics["losses"].append([i, round(l, 2)])
+            metrics["losses"].append([ci, round(l, 2)])
             print(
-                f"iter {i} loss {l:.2f} wave {float(wave):.4f} "
+                f"iter {ci} loss {l:.2f} wave {float(wave):.4f} "
                 f"gnorm {g:.1f} lr_mult {lr_mult:g}",
                 flush=True,
             )

@@ -79,6 +79,14 @@ class SIAMModel(nn.Module):
     # silence local optimum is escapable (see BENCHMARKS.md SIAM notes).
     # 0.0 = plain relu gradient (exact reference backward)
     attn_leak: float = 0.0
+    # initial bias of the event-switch head. The reference inits it to 0,
+    # which puts the attention relu exactly on its dead/alive boundary at
+    # step 0; the energy-removal loss then drives it dead within ~100
+    # steps (the silence collapse, BENCHMARKS.md) and revival via the
+    # leak takes thousands of steps. A positive init starts the switch
+    # alive so amplitude gradients flow from step 0 — an init-only
+    # deviation used by the overfit existence-proof runs.
+    switch_bias_init: float = 0.0
     # --- NaN-blowup guards (root-caused in round 3, BENCHMARKS.md) ---
     # The gated encoder block (conv(x) * selu(gate(x)) + x,
     # anticausal.py:28-66) is quadratic per block, so the 8-block stack is
@@ -130,7 +138,11 @@ class SIAMModel(nn.Module):
         self.to_event_vectors = nn.Dense(
             self.context_dim, kernel_init=uniform_init(0.02)
         )
-        self.to_event_switch = nn.Dense(1, kernel_init=uniform_init(0.02))
+        self.to_event_switch = nn.Dense(
+            1,
+            kernel_init=uniform_init(0.02),
+            bias_init=nn.initializers.constant(self.switch_bias_init),
+        )
         self.resonance = OverfitResonanceModel(
             n_noise_filters=32,
             noise_expressivity=8,

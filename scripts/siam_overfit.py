@@ -90,6 +90,10 @@ def main():
                    help="per-block activation clip in the gated encoder "
                         "stack (0 = exact reference; prevents internal "
                         "f32 overflow of the degree-256 polynomial)")
+    p.add_argument("--switch-bias-init", type=float, default=0.0,
+                   help="initial event-switch bias; >0 starts the "
+                        "attention relu alive instead of on its dead "
+                        "boundary (init-only deviation for overfit runs)")
     p.add_argument("--fixed-noise", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=3)
@@ -126,6 +130,7 @@ def main():
         switch_clamp=args.switch_clamp,
         residual_clamp_scale=args.residual_clamp,
         encoder_clamp=args.encoder_clamp,
+        switch_bias_init=args.switch_bias_init,
     )
 
     # ONE fixed dense segment (reference --overfit repeats one batch,
@@ -218,7 +223,7 @@ def main():
             f"{window}/{step_sz}, lr {args.lr}, attn_floor "
             f"{args.attn_floor}, attn_leak {args.attn_leak}, "
             f"waveform_weight {args.waveform_weight}, fixed_noise "
-            f"{args.fixed_noise}"
+            f"{args.fixed_noise}, switch_bias_init {args.switch_bias_init}"
         ),
         "eval": [],
         "losses": [],
@@ -298,8 +303,21 @@ def main():
             and g > 20.0 * float(np.median(gnorm_hist))
             and g > 10.0 * args.grad_clip
         )
-        bad = (not np.isfinite(l)) or l > args.spike_thresh \
-            or not bool(ok) or spiked
+        # transient FINITE spikes are tolerated: updates are global-norm
+        # clipped, so one spiked step moves params no further than any
+        # other step, and the r3c run proved spikes self-heal (loss
+        # 609 -> -125 after a single step). Rolling back on them killed
+        # the run at 1.49 dB while `wave` was still descending. Rollback
+        # is reserved for actual poisoning: non-finite stats or a loss
+        # past the absolute catastrophe threshold; the 50-step snapshot
+        # check separately catches a switch riding its clamp.
+        bad = (not np.isfinite(l)) or l > args.spike_thresh or not bool(ok)
+        if spiked and not bad:
+            print(
+                f"iter {ci} transient spike tolerated: loss {l:.2f} "
+                f"gnorm {g:.1f}",
+                flush=True,
+            )
         if bad:
             print(
                 f"iter {ci} BAD: loss {l:.2f} gnorm {g:.1f} ok {bool(ok)} "
@@ -318,7 +336,7 @@ def main():
         if len(gnorm_hist) > 40:
             gnorm_hist.pop(0)
         good_streak += 1
-        if good_streak >= 500 and lr_mult < 1.0:
+        if good_streak >= 250 and lr_mult < 1.0:
             lr_mult = min(1.0, lr_mult * 2.0)
             good_streak = 0
             print(f"lr_mult recovered -> {lr_mult:g}", flush=True)
@@ -340,6 +358,20 @@ def main():
             )
             if float(snap_sched) < 0.8 * args.switch_clamp:
                 good = (params, opt_state, i)
+            else:
+                # a switch riding its clamp IS poisoning (r3 run #1's
+                # failure mode) even while the loss still looks finite
+                print(
+                    f"iter {i} switch at clamp (sched_max "
+                    f"{float(snap_sched):.2f}) — rolling back",
+                    flush=True,
+                )
+                rollback(i)
+                pending = None
+                if rollbacks >= 12:
+                    print("ABORT: persistent divergence", flush=True)
+                    break
+                continue
         if i % args.eval_every == 0:
             eval_key = noise_key if args.fixed_noise else jax.random.PRNGKey(7)
             recon, sched_max = reconstruct(params, eval_key)

@@ -94,6 +94,18 @@ def main():
                    help="initial event-switch bias; >0 starts the "
                         "attention relu alive instead of on its dead "
                         "boundary (init-only deviation for overfit runs)")
+    p.add_argument("--selection-leak", type=float, default=0.0,
+                   help="leaky-relu slope for the decoder's 'relu' item "
+                        "selections (envelopes/noise filters/verbs). The "
+                        "r3 overfit2 run died when every envelope-"
+                        "selection logit went negative: the impulse "
+                        "excitation becomes EXACTLY zero, every "
+                        "downstream op multiplies that zero, and the "
+                        "relu gate kills all gradients — the decoder is "
+                        "permanently dead (loss frozen at 1997.42, gnorm "
+                        "exactly 0, sched_max still ~1). A small slope "
+                        "keeps the excitation and its gradients alive; "
+                        "0 = exact reference semantics")
     p.add_argument("--fixed-noise", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=3)
@@ -108,6 +120,13 @@ def main():
 
     faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
     os.makedirs(args.out, exist_ok=True)
+
+    if args.selection_leak:
+        # must run BEFORE the model is built/jitted: jitted programs
+        # capture the leak at trace time (mptpu/sparse/quantize.py)
+        from mptpu.sparse.quantize import set_selection_leak
+
+        set_selection_leak(args.selection_leak)
 
     if args.tiny:
         n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
@@ -223,7 +242,8 @@ def main():
             f"{window}/{step_sz}, lr {args.lr}, attn_floor "
             f"{args.attn_floor}, attn_leak {args.attn_leak}, "
             f"waveform_weight {args.waveform_weight}, fixed_noise "
-            f"{args.fixed_noise}, switch_bias_init {args.switch_bias_init}"
+            f"{args.fixed_noise}, switch_bias_init {args.switch_bias_init}, "
+            f"selection_leak {args.selection_leak}"
         ),
         "eval": [],
         "losses": [],

@@ -335,3 +335,86 @@ class TestGAN:
         gp2, gs, gl = train_gen(gp, g_opt.init(gp), dp, batch, KEY)
         dp2, ds, dl = train_disc(dp, d_opt.init(dp), gp, batch, KEY)
         assert np.isfinite(float(gl)) and np.isfinite(float(dl))
+
+
+class TestEnvelopeDeadRelu:
+    def test_envelope_relu_collapse_and_selection_leak(self):
+        """Round-3 overfit collapse anatomy (siam_overfit2): the decoder's
+        ONLY excitation is the Envelopes lookup, whose 'relu' selection
+        (overfitresonance.py:347-355 here; reference
+        overfitresonance.py:558-612) emits EXACTLY zero once every
+        selection logit is negative. Every downstream op (noise filter,
+        resonance convolution, reverb, scheduling) multiplies that zero,
+        so the whole event is exactly silent AND every decoder gradient
+        dies — both through the relu gate (zero backward) and through the
+        multiplied zero (resonances/mixes/deformations all see d(out)=0).
+        Observed in the run as loss frozen at 1997.42 with gnorm exactly
+        0.0 while sched_max ~1 (the switch was alive; the envelope was
+        dead). A leaky 'relu' selection (set_selection_leak) keeps the
+        excitation and its gradients alive; 0.0 = reference semantics."""
+        import flax
+        from mptpu.models.siam import SIAMModel, siam_transform
+        from mptpu.losses import iterative_loss
+        from mptpu.sparse.quantize import set_selection_leak
+
+        audio = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 2**11)) * 0.1
+
+        def decoder_grads(leak):
+            set_selection_leak(leak)
+            try:
+                model = SIAMModel(
+                    n_samples=2**11, context_dim=8, in_channels=257,
+                    hidden_channels=16, n_events=2,
+                    transform_window_size=512, transform_step_size=256,
+                    fft_resonance=True,
+                    # switch alive (the overfit2 run's config): the
+                    # collapse under test is strictly downstream of it
+                    attn_floor=0.01, attn_leak=0.1, switch_bias_init=1.0,
+                )
+                params = model.init(KEY, audio, KEY)
+                # force the dead state: every envelope-selection logit
+                # negative (head output is unit-normed, so a -10 bias
+                # with a zeroed final kernel lands all-negative)
+                flat = flax.traverse_util.flatten_dict(params)
+                for path in flat:
+                    if "head_envelopes" in path:
+                        if path[-1] == "bias":
+                            flat[path] = flat[path] - 10.0
+                        else:
+                            flat[path] = flat[path] * 0.0
+                params = flax.traverse_util.unflatten_dict(flat)
+
+                def loss_fn(p):
+                    channels, _, _ = model.apply(p, audio, KEY)
+                    # waveform term included: even a phase-aware loss
+                    # with nonzero d(loss)/d(recon) cannot reach any
+                    # parameter through the multiplied zero
+                    recon = jnp.sum(channels, axis=1, keepdims=True)
+                    mag = iterative_loss(
+                        audio, channels,
+                        lambda x: siam_transform(x, 512, 256,
+                                                 mag_epsilon=1e-6),
+                    )
+                    return mag + jnp.sum((recon - audio) ** 2), channels
+
+                (_, channels), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                gflat = flax.traverse_util.flatten_dict(grads)
+                dec = sum(
+                    float(jnp.sum(jnp.abs(v)))
+                    for path, v in gflat.items()
+                    if "resonance" in path or "head_" in path
+                    or "to_event_switch" in path
+                )
+                return np.asarray(channels), dec
+            finally:
+                set_selection_leak(0.0)
+
+        channels0, g0 = decoder_grads(0.0)
+        assert np.all(channels0 == 0.0)  # exactly silent, not just small
+        assert g0 == 0.0                 # reference semantics: terminal
+
+        channels1, g1 = decoder_grads(0.02)
+        assert np.any(channels1 != 0.0)  # excitation alive
+        assert g1 > 0.0                  # gradients alive

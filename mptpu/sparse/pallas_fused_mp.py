@@ -707,7 +707,16 @@ def pallas_fused_step_pipelined(
         input_output_aliases={0: 0, 2: 1, 3: 2},
         interpret=interpret,
         compiler_params=(
-            pltpu.CompilerParams(has_side_effects=True)
+            # the double-buffered scratch set sums to ~14.7 MB at the
+            # bench config (512x512 dict, 16k samples) and Mosaic's
+            # compute temporaries push the scoped allocation to ~17.3 MB
+            # — past the 16 MB default limit but nowhere near the v5e's
+            # 128 MB VMEM. The grid is sequential over batch items, so a
+            # single program instance owns the core; raise the limit
+            # rather than un-double-buffer the DMA chain.
+            pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
+            )
             if not interpret and PALLAS_AVAILABLE
             else None
         ),

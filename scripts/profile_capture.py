@@ -91,13 +91,14 @@ def main():
     wall = profile.timed(
         coder, sig, d, sync=lambda out: float(out.values.sum())
     )
+    block = 512  # fast_mp's default block at this config
     with profile.trace(os.path.join(args.out, "fused_mp")) as tdir:
         float(coder(sig, d).values.sum())
     print(f"fused MP trace in {tdir}", flush=True)
 
     per_item_step = wall / (batch * n_steps)
     bytes_moved = mp_bytes_per_item_step(
-        n_atoms, atom_size, n_samples, 128
+        n_atoms, atom_size, n_samples, block
     ) * batch * n_steps
     # the only MXU work is the (N, A) x (A, A) boundary-tail matmul
     flops = 2 * n_atoms * atom_size * atom_size * batch * n_steps
@@ -109,7 +110,7 @@ def main():
             "mfu_pct": round(util.mfu * 100, 2),
             "hbm_util_pct": round(util.hbm_util * 100, 2),
             "hbm_speed_of_light_us": round(
-                mp_bytes_per_item_step(n_atoms, atom_size, n_samples, 128)
+                mp_bytes_per_item_step(n_atoms, atom_size, n_samples, block)
                 / profile.V5E_HBM_BYTES_PER_S * 1e6, 2,
             ),
             "pipelined": args.pipelined,

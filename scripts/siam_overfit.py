@@ -115,6 +115,15 @@ def main():
     p.add_argument("--target-snr", type=float, default=0.0,
                    help="stop early once first-half SNR exceeds this (dB); "
                         "0 disables")
+    p.add_argument("--eval-regress-db", type=float, default=0.0,
+                   help="roll back to the best-eval snapshot and halve the "
+                        "lr multiplier when an eval's first-half SNR drops "
+                        "this many dB below the best seen (0 disables). "
+                        "Two r3 runs at lr 3e-4 climbed to ~2.5 dB by step "
+                        "~400 then fell into the mag-loss silence basin "
+                        "within ~40 steps with total loss RISING 3x — an "
+                        "optimizer instability, not a better optimum; this "
+                        "makes progress monotone-ish under it")
     p.add_argument("--resume", action="store_true")
     args = p.parse_args()
 
@@ -243,7 +252,8 @@ def main():
             f"{args.attn_floor}, attn_leak {args.attn_leak}, "
             f"waveform_weight {args.waveform_weight}, fixed_noise "
             f"{args.fixed_noise}, switch_bias_init {args.switch_bias_init}, "
-            f"selection_leak {args.selection_leak}"
+            f"selection_leak {args.selection_leak}, "
+            f"eval_regress_db {args.eval_regress_db}"
         ),
         "eval": [],
         "losses": [],
@@ -275,6 +285,10 @@ def main():
     # while sched_max sat at the clamp and SNR was -24.9 dB), so a
     # healthy-looking loss is NOT a sufficient snapshot condition.
     good = (params, opt_state, start_step)
+    # separate snapshot for eval-SNR regression recovery: the 50-step
+    # health snapshot above accepts any finite/clamp-clear state, which
+    # after a collapse is exactly the silent state we must NOT return to
+    best_eval = (params, opt_state, start_step)
 
     def rollback(i):
         nonlocal params, opt_state, lr_mult, rollbacks, good_streak, gnorm_hist
@@ -414,10 +428,33 @@ def main():
             write_metrics()
             if s_half > best_snr:
                 best_snr = s_half
+                best_eval = (params, opt_state, i)
                 write_wav(
                     os.path.join(args.out, "recon_best.wav"),
                     np.asarray(recon[0, 0]), 22050,
                 )
+            elif (
+                args.eval_regress_db
+                and best_snr > 0.5
+                and s_half < best_snr - args.eval_regress_db
+            ):
+                params, opt_state, be_step = best_eval
+                lr_mult *= 0.5
+                rollbacks += 1
+                good_streak = 0
+                gnorm_hist = []
+                good = best_eval
+                pending = None
+                print(
+                    f"EVAL-REGRESS rollback #{rollbacks} at iter {i}: SNR "
+                    f"{s_half:.2f} < best {best_snr:.2f} - "
+                    f"{args.eval_regress_db}; restored step {be_step}, "
+                    f"lr_mult -> {lr_mult:g}",
+                    flush=True,
+                )
+                if rollbacks >= 12:
+                    print("ABORT: persistent divergence", flush=True)
+                    break
             if args.target_snr and s_half >= args.target_snr:
                 print(f"target SNR {args.target_snr} dB reached", flush=True)
                 break

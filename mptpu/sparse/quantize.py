@@ -30,22 +30,43 @@ def hard_choice(
             # mixtures go *exactly* silent when every logit is negative,
             # killing all gradients — the overfit-training death mode of
             # the reference's decoder stack; a small leak keeps them alive
-            return jax.nn.leaky_relu(selections, RELU_SELECTION_LEAK)
-        return jax.nn.relu(selections)
+            sel = jax.nn.leaky_relu(selections, RELU_SELECTION_LEAK)
+        else:
+            sel = jax.nn.relu(selections)
+        if RELU_SELECTION_FLOOR:
+            # opt-in training aid (see set_selection_floor): the leak
+            # alone fixes the BACKWARD pass but the forward render is
+            # still exactly zero when all logits are negative, so a dead
+            # event leaves the greedy residual unchanged and every later
+            # encode step re-picks the same frame with the same latent —
+            # the r3 overfit4 run converged to 3/32 alive events this
+            # way. A small additive floor (the envelope-selection
+            # analogue of the event-switch ``attn_floor``) keeps every
+            # event audible so the greedy loop differentiates and real
+            # loss gradients (not just the leak) reach dead events.
+            sel = sel + RELU_SELECTION_FLOOR
+        return sel
     raise ValueError(f"{selection_type} is an unknown selection type")
 
 
-# Trace-time knob for the 'relu' selection type. 0.0 (default) is exact
-# reference parity. Trainers may set a small slope (e.g. 0.01) BEFORE
-# building/jitting the model; jitted programs capture the value at trace
+# Trace-time knobs for the 'relu' selection type. 0.0 (default) is exact
+# reference parity. Trainers may set small values (e.g. 0.01) BEFORE
+# building/jitting the model; jitted programs capture the values at trace
 # time.
 RELU_SELECTION_LEAK: float = 0.0
+RELU_SELECTION_FLOOR: float = 0.0
 
 
 def set_selection_leak(leak: float) -> None:
     """Set the leaky-relu slope used by 'relu' selections (0 = parity)."""
     global RELU_SELECTION_LEAK
     RELU_SELECTION_LEAK = float(leak)
+
+
+def set_selection_floor(floor: float) -> None:
+    """Set the additive floor on 'relu' selection weights (0 = parity)."""
+    global RELU_SELECTION_FLOOR
+    RELU_SELECTION_FLOOR = float(floor)
 
 
 def select_items(

@@ -106,6 +106,16 @@ def main():
                         "exactly 0, sched_max still ~1). A small slope "
                         "keeps the excitation and its gradients alive; "
                         "0 = exact reference semantics")
+    p.add_argument("--selection-floor", type=float, default=0.0,
+                   help="additive floor on 'relu' selection weights. The "
+                        "leak fixes only the backward pass: overfit4 "
+                        "converged to 3/32 alive events because a dead "
+                        "event's zero render leaves the greedy residual "
+                        "unchanged, so every later encode re-picks the "
+                        "same frame/latent — a floor keeps every event "
+                        "audible so the greedy loop differentiates "
+                        "(envelope-selection analogue of attn_floor); "
+                        "0 = exact reference semantics")
     p.add_argument("--fixed-noise", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=3)
@@ -130,12 +140,13 @@ def main():
     faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
     os.makedirs(args.out, exist_ok=True)
 
-    if args.selection_leak:
+    if args.selection_leak or args.selection_floor:
         # must run BEFORE the model is built/jitted: jitted programs
-        # capture the leak at trace time (mptpu/sparse/quantize.py)
-        from mptpu.sparse.quantize import set_selection_leak
+        # capture the values at trace time (mptpu/sparse/quantize.py)
+        from mptpu.sparse.quantize import set_selection_leak, set_selection_floor
 
         set_selection_leak(args.selection_leak)
+        set_selection_floor(args.selection_floor)
 
     if args.tiny:
         n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
@@ -242,7 +253,15 @@ def main():
     @jax.jit
     def reconstruct(params, key):
         channels, _, schedules, _ = iterative(params, faded_target, key)
-        return jnp.sum(channels, axis=1, keepdims=True), jnp.max(schedules)
+        # per-event first-half energy: the overfit4 plateau was 29/32
+        # events rendering EXACTLY zero (diag.json), invisible in every
+        # scalar we logged — count alive events at each eval
+        ev_energy = jnp.sum(channels[..., :half] ** 2, axis=-1)
+        return (
+            jnp.sum(channels, axis=1, keepdims=True),
+            jnp.max(schedules),
+            ev_energy,
+        )
 
     metrics = {
         "config": (
@@ -253,6 +272,7 @@ def main():
             f"waveform_weight {args.waveform_weight}, fixed_noise "
             f"{args.fixed_noise}, switch_bias_init {args.switch_bias_init}, "
             f"selection_leak {args.selection_leak}, "
+            f"selection_floor {args.selection_floor}, "
             f"eval_regress_db {args.eval_regress_db}"
         ),
         "eval": [],
@@ -387,7 +407,7 @@ def main():
             # snapshot only a VERIFIED-healthy state: finite forward and
             # switches clearly away from the clamp (an extra forward,
             # ~1% overhead at this cadence)
-            _, snap_sched = reconstruct(
+            _, snap_sched, _ = reconstruct(
                 params, noise_key if args.fixed_noise else jax.random.PRNGKey(7)
             )
             if float(snap_sched) < 0.8 * args.switch_clamp:
@@ -408,7 +428,9 @@ def main():
                 continue
         if i % args.eval_every == 0:
             eval_key = noise_key if args.fixed_noise else jax.random.PRNGKey(7)
-            recon, sched_max = reconstruct(params, eval_key)
+            recon, sched_max, ev_energy = reconstruct(params, eval_key)
+            tgt_e = float(target_energy_half)
+            alive = int(np.sum(np.asarray(ev_energy) > 1e-6 * tgt_e))
             s_half = float(snr_db(target[..., :half], recon[..., :half]))
             l_half = float(lsd_db(target[..., :half], recon[..., :half],
                                   window, step_sz))
@@ -419,6 +441,7 @@ def main():
                 "first_half_lsd_db": round(l_half, 3),
                 "full_snr_db": round(s_full, 3),
                 "sched_max": round(float(sched_max), 4),
+                "alive_events": alive,
                 "nan_steps_so_far": nan_steps,
                 "lr_mult": lr_mult,
                 "rollbacks": rollbacks,

@@ -418,3 +418,56 @@ class TestEnvelopeDeadRelu:
         channels1, g1 = decoder_grads(0.02)
         assert np.any(channels1 != 0.0)  # excitation alive
         assert g1 > 0.0                  # gradients alive
+
+    def test_selection_floor_guarantees_audible_dead_events(self):
+        """The forward-pass half of the fix (siam_overfit4 plateau,
+        diag.json: 29/32 events at ~1e-6 energy after 3,000 steps WITH
+        the leak on). The leak's forward render scales with |logits| —
+        as dead logits drift toward 0⁻ the render vanishes, the greedy
+        residual never changes, and every encode step re-picks the same
+        frame/latent. An additive floor on 'relu' selection weights
+        guarantees a logit-INDEPENDENT minimum render, so the greedy
+        loop differentiates and real loss gradients reach dead events —
+        the envelope-selection analogue of the event-switch attn_floor."""
+        import flax
+        from mptpu.models.siam import SIAMModel
+        from mptpu.sparse.quantize import set_selection_leak, set_selection_floor
+
+        audio = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 2**11)) * 0.1
+
+        def render(leak, floor, dead_bias):
+            set_selection_leak(leak)
+            set_selection_floor(floor)
+            try:
+                model = SIAMModel(
+                    n_samples=2**11, context_dim=8, in_channels=257,
+                    hidden_channels=16, n_events=2,
+                    transform_window_size=512, transform_step_size=256,
+                    fft_resonance=True,
+                    attn_floor=0.01, attn_leak=0.1, switch_bias_init=1.0,
+                )
+                params = model.init(KEY, audio, KEY)
+                flat = flax.traverse_util.flatten_dict(params)
+                for path in flat:
+                    if "head_envelopes" in path:
+                        if path[-1] == "bias":
+                            flat[path] = flat[path] + dead_bias
+                        else:
+                            flat[path] = flat[path] * 0.0
+                params = flax.traverse_util.unflatten_dict(flat)
+                channels, _, _ = model.apply(params, audio, KEY)
+                return np.asarray(channels)
+            finally:
+                set_selection_leak(0.0)
+                set_selection_floor(0.0)
+
+        # the observed death mode: logits just below zero, leak on —
+        # render energy ~ (leak * |logit|)^2 ~ 1e-10 of a healthy event
+        dead = render(0.02, 0.0, -1e-3)
+        floored = render(0.02, 0.02, -1e-3)
+        dead_e = float(np.sum(dead**2))
+        floored_e = float(np.sum(floored**2))
+        assert dead_e < 1e-6         # leak alone: inaudible
+        assert floored_e > 1e3 * dead_e  # floor: logit-independent render
+        per_event = np.sum(floored**2, axis=-1)[0]
+        assert np.all(per_event > 0.0)

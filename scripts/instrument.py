@@ -44,10 +44,27 @@ def build(checkpoint: str | None, tiny: bool):
     return PlayableInstrument(codec)
 
 
-def demo_phrase(inst, out_path: str):
-    """One-shot: an arpeggio of random-latent notes (used by tests)."""
-    for i, t in enumerate([0.0, 0.25, 0.5, 0.75, 1.0]):
-        inst.add_note(inst.random_vector(seed=i), t, amplitude=1.0 - 0.1 * i)
+def demo_phrase(inst, out_path: str, harvest_seed: int | None = None):
+    """One-shot: an arpeggio of notes (used by tests). With
+    ``harvest_seed`` the notes are event vectors harvested from a real
+    segment through the trained encoder — the checkpoint's own learned
+    sounds — instead of random latents (reference ``interactive.py``'s
+    click-to-place workflow seeded from an encoded segment)."""
+    if harvest_seed is not None:
+        from mptpu.data import AudioIterator
+
+        seg = next(iter(AudioIterator(
+            1, inst.model.n_samples, normalize=True, seed=harvest_seed
+        )))
+        bank = inst.harvest_bank(seg)
+        n = bank.shape[0]
+        for i, t in enumerate([0.0, 0.25, 0.5, 0.75, 1.0, 1.5, 2.0]):
+            inst.add_note(inst.bank_vector(i % n), t,
+                          amplitude=1.0 - 0.08 * i)
+    else:
+        for i, t in enumerate([0.0, 0.25, 0.5, 0.75, 1.0]):
+            inst.add_note(inst.random_vector(seed=i), t,
+                          amplitude=1.0 - 0.1 * i)
     audio = inst.render()
     from mptpu.utils.wav import write_wav
 
@@ -116,9 +133,22 @@ if __name__ == "__main__":
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument("--demo", type=str, default=None,
                         help="render a demo phrase to this wav and exit")
+    parser.add_argument("--harvest-seed", type=int, default=None,
+                        help="harvest the demo's note vectors from a real "
+                             "segment (match the overfit trainer's --seed "
+                             "to play the checkpoint's learned sounds)")
+    parser.add_argument("--selection-leak", type=float, default=0.0,
+                        help="match the checkpoint's training-time decoder "
+                             "semantics (see scripts/siam_overfit.py)")
+    parser.add_argument("--selection-floor", type=float, default=0.0)
     args = parser.parse_args()
+    if args.selection_leak or args.selection_floor:
+        from mptpu.sparse.quantize import set_selection_leak, set_selection_floor
+
+        set_selection_leak(args.selection_leak)
+        set_selection_floor(args.selection_floor)
     inst = build(args.checkpoint, args.tiny)
     if args.demo:
-        demo_phrase(inst, args.demo)
+        demo_phrase(inst, args.demo, harvest_seed=args.harvest_seed)
     else:
         repl(inst)

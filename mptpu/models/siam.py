@@ -401,7 +401,14 @@ def make_streaming_fn(model: SIAMModel):
         audio: jax.Array,
         key: jax.Array,
         return_event_vectors: bool = False,
+        fixed_noise: bool = False,
     ):
+        """``fixed_noise=True`` passes the SAME key to every window
+        (instead of the reference's per-window fold): required when
+        scoring a checkpoint trained with a pinned decoder-noise key
+        (scripts/siam_overfit.py --fixed-noise) — the decoder memorizes
+        the exact draw, so folded keys render mismatched audio. Python-
+        level only; the compiled per-window program is unchanged."""
         samps = audio.shape[-1]
         spec = model.transform(audio)
         time = spec.shape[-1]
@@ -417,7 +424,7 @@ def make_streaming_fn(model: SIAMModel):
                 segments,
                 i,
                 i * model.transform_step_size,
-                jax.random.fold_in(key, step_count),
+                key if fixed_noise else jax.random.fold_in(key, step_count),
             )
             step_count += 1
             all_vecs.append(vecs)
@@ -443,10 +450,12 @@ def streaming_encode(
     audio: jax.Array,
     key: jax.Array,
     return_event_vectors: bool = False,
+    fixed_noise: bool = False,
 ):
     """One-shot convenience wrapper over :func:`make_streaming_fn` (use
     the factory directly when calling repeatedly — it caches the jitted
     per-window program)."""
     return make_streaming_fn(model)(
-        params, audio, key, return_event_vectors=return_event_vectors
+        params, audio, key, return_event_vectors=return_event_vectors,
+        fixed_noise=fixed_noise,
     )

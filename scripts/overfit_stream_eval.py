@@ -1,0 +1,130 @@
+"""Streaming-walk eval of an overfit checkpoint (VERDICT r2 Missing #2):
+the encoder's in-window mask confines single-window events to the first
+half BY DESIGN — full-segment coverage is delivered by the half-overlap
+streaming window walk (reference ``iterativedecomposition.py:275-319``).
+This scores that walk: encode the overfit target through
+``streaming_encode`` (padded with one window of silence so the walk's
+windows tile past the segment end) and report FULL-segment SNR/LSD
+beside the single-window numbers.
+
+Run in the background to completion (never under ``timeout``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import faulthandler
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mptpu.utils.platform import apply_platform_from_env
+apply_platform_from_env()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mptpu.models.siam import SIAMModel, streaming_encode, siam_transform
+from mptpu.train.checkpoint import load_checkpoint
+from mptpu.utils.wav import write_wav
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", type=str, default="trained_weights/siam_overfit4")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--selection-leak", type=float, default=0.02)
+    p.add_argument("--selection-floor", type=float, default=0.0)
+    p.add_argument("--attn-floor", type=float, default=0.01)
+    p.add_argument("--attn-leak", type=float, default=0.1)
+    p.add_argument("--switch-clamp", type=float, default=20.0)
+    p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--watchdog-s", type=int, default=3600)
+    args = p.parse_args()
+
+    faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
+
+    if args.selection_leak or args.selection_floor:
+        from mptpu.sparse.quantize import set_selection_leak, set_selection_floor
+        set_selection_leak(args.selection_leak)
+        set_selection_floor(args.selection_floor)
+
+    n_samples, n_events, hidden, context_dim = 2**17, 32, 128, 32
+    window, step_sz = 2048, 256
+    model = SIAMModel(
+        n_samples=n_samples, context_dim=context_dim,
+        in_channels=window // 2 + 1, hidden_channels=hidden,
+        n_events=n_events, transform_window_size=window,
+        transform_step_size=step_sz, fft_resonance=True,
+        attn_floor=args.attn_floor, attn_leak=args.attn_leak,
+        switch_clamp=args.switch_clamp, residual_clamp_scale=4.0,
+        encoder_clamp=1e4,
+    )
+
+    from mptpu.data.synthetic import synthetic_audio
+    seg = synthetic_audio(n_samples, 22050,
+                          n_events=int(n_samples / 22050 * 8),
+                          seed=args.seed, sustained=True)
+    target = jnp.asarray(seg).reshape(1, 1, n_samples)
+    # training parity (scripts/siam_overfit.py): the trainer fits the
+    # FADED target — score against what the model was actually trained
+    # to reconstruct
+    fade = jnp.ones((1, 1, n_samples)).at[..., n_samples // 2:].set(
+        jnp.linspace(1.0, 0.0, n_samples // 2) ** 8)
+    target = target * fade
+    # one extra window of silence so the half-overlap walk tiles windows
+    # starting at 0, n/2, n — covering the real segment end to end
+    padded = jnp.pad(target, ((0, 0), (0, 0), (0, n_samples)))
+
+    ckpt_path = args.ckpt
+    if ckpt_path is None:
+        cands = sorted(
+            f for f in os.listdir(args.run)
+            if f.startswith("ckpt_") and f.endswith(".pkl")
+        )
+        ckpt_path = os.path.join(args.run, cands[-1])
+    payload = load_checkpoint(ckpt_path)
+    params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+    print(f"loaded {ckpt_path} (step {payload['step']})", flush=True)
+
+    recon_full = streaming_encode(
+        model, params, padded, jax.random.PRNGKey(42),
+        # the checkpoint trained with --fixed-noise: every decode must
+        # use the same key the decoder memorized
+        fixed_noise=True,
+    )[..., :n_samples]
+    _ = float(recon_full.sum())  # force transfer (axon under-reports)
+
+    def snr(t, r):
+        return float(10 * jnp.log10(
+            jnp.maximum(jnp.sum(t**2), 1e-12)
+            / jnp.maximum(jnp.sum((t - r) ** 2), 1e-12)))
+
+    def lsd(t, r):
+        ts = siam_transform(t, window, step_sz)
+        rs = siam_transform(r, window, step_sz)
+        return float(jnp.sqrt(jnp.mean(
+            (20 * jnp.log10(ts + 1e-8) - 20 * jnp.log10(rs + 1e-8)) ** 2)))
+
+    half = n_samples // 2
+    out = {
+        "ckpt": ckpt_path,
+        "streaming_full_snr_db": round(snr(target, recon_full), 3),
+        "streaming_full_lsd_db": round(lsd(target, recon_full), 3),
+        "streaming_first_half_snr_db": round(
+            snr(target[..., :half], recon_full[..., :half]), 3),
+        "streaming_second_half_snr_db": round(
+            snr(target[..., half:], recon_full[..., half:]), 3),
+    }
+    print(json.dumps(out, indent=1), flush=True)
+    with open(os.path.join(args.run, "stream_eval.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    write_wav(os.path.join(args.run, "recon_streaming.wav"),
+              np.asarray(recon_full[0, 0]), 22050)
+
+
+if __name__ == "__main__":
+    main()

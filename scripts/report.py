@@ -101,23 +101,42 @@ class _OverfitTableComponent:
     def render(self):
         m = self.metrics
         evals = m.get("eval", [])
+        has_aligned = any("aligned_first_half_snr_db" in e for e in evals)
         # thin long runs to ~40 rows
         step = max(1, len(evals) // 40)
+        def aligned_cell(e):
+            if not has_aligned:
+                return ""
+            v = e.get("aligned_first_half_snr_db")
+            return f"<td>{v:.2f}</td>" if v is not None else "<td>—</td>"
+
         rows = "".join(
             f"<tr><td>{e['step']}</td><td>{e['first_half_snr_db']:.2f}</td>"
-            f"<td>{e['full_snr_db']:.2f}</td><td>{e['sched_max']:.2f}</td>"
+            + aligned_cell(e)
+            + f"<td>{e['full_snr_db']:.2f}</td><td>{e['sched_max']:.2f}</td>"
             f"<td>{e.get('alive_events', '—')}</td>"
             f"<td>{e['rollbacks']}</td></tr>"
             for e in evals[::step]
         )
         best = m.get("best_first_half_snr_db",
                      max((e["first_half_snr_db"] for e in evals), default=0.0))
+        best_aligned = m.get("best_aligned_first_half_snr_db")
+        head_aligned = (
+            "<th>aligned SNR (dB)</th>" if has_aligned else ""
+        )
+        aligned_line = (
+            f"<p><b>best aligned (shift+gain refined) first-half SNR: "
+            f"{best_aligned:.2f} dB</b></p>"
+            if best_aligned is not None
+            else ""
+        )
         return (
             f'<div class="component"><h4>{self.title}</h4>'
             f"<p>{html_escape(m.get('config', ''))}</p>"
-            f"<p><b>best first-half SNR: {best:.2f} dB</b></p>"
+            f"<p><b>best first-half SNR: {best:.2f} dB</b></p>{aligned_line}"
             "<table border=1 cellpadding=4><tr><th>step</th>"
-            "<th>first-half SNR (dB)</th><th>full SNR (dB)</th>"
+            f"<th>first-half SNR (dB)</th>{head_aligned}"
+            "<th>full SNR (dB)</th>"
             "<th>sched_max</th><th>alive events</th><th>rollbacks</th></tr>"
             f"{rows}</table></div>"
         )
@@ -157,6 +176,25 @@ def make_overfit_report(run_dir: str, out_path: str):
         spec_img(recon, "Reconstruction spectrogram (log)"),
         _OverfitTableComponent(metrics),
     ]
+    aligned_wav = os.path.join(run_dir, "recon_aligned_best.wav")
+    refine_json = os.path.join(run_dir, "refine_eval.json")
+    if os.path.exists(aligned_wav):
+        aligned, _ = read_wav(aligned_wav)
+        note = ""
+        if os.path.exists(refine_json):
+            with open(refine_json) as f:
+                re_ = _json.load(f)
+            note = (
+                f": raw {re_.get('raw_first_half_snr_db', '?')} dB -> "
+                f"refit {re_.get('refit_first_half_snr_db', '?')} dB -> "
+                f"aligned {re_.get('aligned_first_half_snr_db', '?')} dB "
+                "first half"
+            )
+        components.insert(2, AudioComponent(
+            aligned, sr,
+            "Best encode-time-refined reconstruction (OMP shift+gain "
+            f"re-projection){note}",
+        ))
     stream_wav = os.path.join(run_dir, "recon_streaming.wav")
     stream_json = os.path.join(run_dir, "stream_eval.json")
     if os.path.exists(stream_wav) and os.path.exists(stream_json):

@@ -116,6 +116,27 @@ def main():
                         "audible so the greedy loop differentiates "
                         "(envelope-selection analogue of attn_floor); "
                         "0 = exact reference semantics")
+    p.add_argument("--gain-refit", type=float, default=0.0,
+                   help="enable OMP-style joint amplitude re-projection "
+                        "(models/siam.py refit_event_gains) with this "
+                        "ridge weight (0 = off). Greedy encoding fixes "
+                        "each event's amplitude against a stale "
+                        "residual; the closed-form 32x32 least-squares "
+                        "re-fit makes the waveform term a direction-"
+                        "only problem — it can never be worse than "
+                        "unit gains. Applied to the waveform loss and "
+                        "reported beside the raw SNR at eval; the mag "
+                        "loss still sees raw channels so event scales "
+                        "stay anchored")
+    p.add_argument("--align-refine", type=int, default=0,
+                   help="at eval, also score the encode-time shift+gain "
+                        "refinement (models/siam.py "
+                        "refine_event_alignment) within this many "
+                        "samples (0 = skip). The encoder places events "
+                        "at frame resolution (256 samples); this "
+                        "re-aligns each decoded event against the "
+                        "residual of the others, the MP refinement "
+                        "pass")
     p.add_argument("--fixed-noise", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=3)
@@ -212,6 +233,19 @@ def main():
 
     noise_key = jax.random.PRNGKey(42)
 
+    from mptpu.models.siam import refit_event_gains
+
+    def refit_recon(channels):
+        """First-half OMP gain re-fit (clipped in the TRAINER only: the
+        mag loss anchors channel scale near the right amplitude, so
+        honest gains sit near 1; the clip is insurance against the
+        tiny-channel/huge-gain scale degeneracy early in training)."""
+        gains = refit_event_gains(
+            target, channels, ridge=args.gain_refit, span=half
+        )
+        gains = jnp.clip(gains, -10.0, 10.0)
+        return jnp.einsum("be,ben->bn", gains, channels)[:, None]
+
     def loss_fn(params, key, wave_w):
         channels, vecs, schedules, _ = iterative(params, faded_target, key)
         mag = iterative_loss(
@@ -220,6 +254,8 @@ def main():
             lambda x: siam_transform(x, window, step_sz, mag_epsilon=1e-6),
         )
         recon = jnp.sum(channels, axis=1, keepdims=True)
+        if args.gain_refit:
+            recon = refit_recon(channels)
         # relative waveform error on the (covered) first half
         wave = jnp.sum(
             (recon[..., :half] - target[..., :half]) ** 2
@@ -257,11 +293,22 @@ def main():
         # events rendering EXACTLY zero (diag.json), invisible in every
         # scalar we logged — count alive events at each eval
         ev_energy = jnp.sum(channels[..., :half] ** 2, axis=-1)
-        return (
-            jnp.sum(channels, axis=1, keepdims=True),
-            jnp.max(schedules),
-            ev_energy,
-        )
+        raw = jnp.sum(channels, axis=1, keepdims=True)
+        refit = refit_recon(channels) if args.gain_refit else raw
+        if args.align_refine:
+            from mptpu.models.siam import refine_event_alignment
+
+            refined, _, gains = refine_event_alignment(
+                target,
+                channels,
+                max_shift=args.align_refine,
+                n_iters=2,
+                ridge=args.gain_refit or 1e-3,
+            )
+            aligned = jnp.einsum("be,ben->bn", gains, refined)[:, None]
+        else:
+            aligned = refit
+        return raw, refit, aligned, jnp.max(schedules), ev_energy
 
     metrics = {
         "config": (
@@ -273,7 +320,8 @@ def main():
             f"{args.fixed_noise}, switch_bias_init {args.switch_bias_init}, "
             f"selection_leak {args.selection_leak}, "
             f"selection_floor {args.selection_floor}, "
-            f"eval_regress_db {args.eval_regress_db}"
+            f"eval_regress_db {args.eval_regress_db}, "
+            f"gain_refit {args.gain_refit}"
         ),
         "eval": [],
         "losses": [],
@@ -293,6 +341,7 @@ def main():
 
     run_start = time.perf_counter()
     best_snr = -np.inf
+    best_aligned = -np.inf
     nan_steps = 0
     rollbacks = 0
     good_streak = 0
@@ -407,7 +456,7 @@ def main():
             # snapshot only a VERIFIED-healthy state: finite forward and
             # switches clearly away from the clamp (an extra forward,
             # ~1% overhead at this cadence)
-            _, snap_sched, _ = reconstruct(
+            _, _, _, snap_sched, _ = reconstruct(
                 params, noise_key if args.fixed_noise else jax.random.PRNGKey(7)
             )
             if float(snap_sched) < 0.8 * args.switch_clamp:
@@ -428,7 +477,9 @@ def main():
                 continue
         if i % args.eval_every == 0:
             eval_key = noise_key if args.fixed_noise else jax.random.PRNGKey(7)
-            recon, sched_max, ev_energy = reconstruct(params, eval_key)
+            raw_recon, recon, aligned_recon, sched_max, ev_energy = (
+                reconstruct(params, eval_key)
+            )
             tgt_e = float(target_energy_half)
             alive = int(np.sum(np.asarray(ev_energy) > 1e-6 * tgt_e))
             s_half = float(snr_db(target[..., :half], recon[..., :half]))
@@ -446,6 +497,37 @@ def main():
                 "lr_mult": lr_mult,
                 "rollbacks": rollbacks,
             }
+            if args.gain_refit:
+                # first_half_snr_db above IS the refit number when the
+                # refit is on (it is part of decode then); keep the raw
+                # unit-gain SNR beside it so divergence between the two
+                # (scale degeneracy) is visible in the series
+                entry["raw_first_half_snr_db"] = round(
+                    float(snr_db(target[..., :half], raw_recon[..., :half])),
+                    3,
+                )
+            if args.align_refine:
+                a_half = float(
+                    snr_db(target[..., :half], aligned_recon[..., :half])
+                )
+                if a_half > best_aligned:
+                    best_aligned = a_half
+                    write_wav(
+                        os.path.join(args.out, "recon_aligned_best.wav"),
+                        np.asarray(aligned_recon[0, 0]), 22050,
+                    )
+                entry["aligned_first_half_snr_db"] = round(a_half, 3)
+                entry["aligned_first_half_lsd_db"] = round(
+                    float(
+                        lsd_db(
+                            target[..., :half],
+                            aligned_recon[..., :half],
+                            window,
+                            step_sz,
+                        )
+                    ),
+                    3,
+                )
             metrics["eval"].append(entry)
             print("eval", json.dumps(entry), flush=True)
             write_metrics()
@@ -493,6 +575,10 @@ def main():
         os.path.join(args.out, f"ckpt_{last_i:09d}.pkl"), params, opt_state, last_i
     )
     metrics["best_first_half_snr_db"] = round(float(best_snr), 3)
+    if args.align_refine:
+        metrics["best_aligned_first_half_snr_db"] = round(
+            float(best_aligned), 3
+        )
     write_metrics()
     print(f"done: best first-half SNR {best_snr:.2f} dB", flush=True)
 

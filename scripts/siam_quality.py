@@ -390,6 +390,18 @@ def main():
                 )
                 entry["streaming_snr_db"] = round(float(s_snr), 3)
                 entry["streaming_lsd_db"] = round(float(s_lsd), 3)
+                # the OMP amplitude re-fit is part of the codec's encode
+                # path (models/siam.py refit_event_gains) — score the
+                # walk with it beside the plain greedy amplitudes
+                r_recon = stream_fn(
+                    params, stream_holdout, jax.random.PRNGKey(11),
+                    refit_gains_against=stream_holdout,
+                )
+                r_snr, r_lsd = spectral_metrics(
+                    stream_holdout, r_recon, window, step_sz
+                )
+                entry["streaming_refit_snr_db"] = round(float(r_snr), 3)
+                entry["streaming_refit_lsd_db"] = round(float(r_lsd), 3)
             metrics["eval"].append(entry)
             print("eval", json.dumps(entry), flush=True)
             with open(os.path.join(args.out, "metrics.json"), "w") as f:

@@ -494,3 +494,142 @@ class TestEnvelopeDeadRelu:
         assert floored_e > 1e3 * dead_e  # floor: logit-independent render
         per_event = np.sum(floored**2, axis=-1)[0]
         assert np.all(per_event > 0.0)
+
+
+class TestRefitEventGains:
+    """OMP-style joint amplitude re-projection (models/siam.py) —
+    mirrors the amplitude re-fit inside the reference's dictionary
+    update (``modules/matchingpursuit.py:269-328``)."""
+
+    def test_never_worse_than_unit_gains(self):
+        from mptpu.models.siam import refit_event_gains
+
+        rng = np.random.default_rng(0)
+        ch = jnp.asarray(rng.normal(size=(2, 6, 512)).astype(np.float32))
+        tgt = jnp.asarray(rng.normal(size=(2, 1, 512)).astype(np.float32))
+        gains = refit_event_gains(tgt, ch, ridge=1e-6)
+        refit = jnp.einsum("be,ben->bn", gains, ch)
+        unit = jnp.sum(ch, axis=1)
+        err_refit = jnp.sum((tgt[:, 0] - refit) ** 2, axis=-1)
+        err_unit = jnp.sum((tgt[:, 0] - unit) ** 2, axis=-1)
+        assert np.all(np.asarray(err_refit) <= np.asarray(err_unit) + 1e-4)
+
+    def test_recovers_exact_mixture_and_matches_numpy_lstsq(self):
+        from mptpu.models.siam import refit_event_gains
+
+        rng = np.random.default_rng(1)
+        ch = rng.normal(size=(1, 5, 256)).astype(np.float32)
+        true_g = rng.normal(size=(1, 5)).astype(np.float32)
+        tgt = np.einsum("be,ben->bn", true_g, ch)[:, None]
+        gains = np.asarray(
+            refit_event_gains(jnp.asarray(tgt), jnp.asarray(ch), ridge=1e-9)
+        )
+        assert np.allclose(gains, true_g, atol=1e-2)
+        ls, *_ = np.linalg.lstsq(ch[0].T, tgt[0, 0], rcond=None)
+        assert np.allclose(gains[0], ls, atol=1e-2)
+
+    def test_dead_channel_gets_zero_gain_and_span_restricts_fit(self):
+        from mptpu.models.siam import refit_event_gains
+
+        rng = np.random.default_rng(2)
+        ch = rng.normal(size=(1, 3, 400)).astype(np.float32)
+        ch[:, 1] = 0.0  # dead event: ridge must keep its gain finite ~0
+        # second half of the target is garbage; span must ignore it
+        tgt = np.einsum("be,ben->bn", np.ones((1, 3), np.float32), ch)[:, None]
+        tgt[..., 200:] = 100.0
+        gains = np.asarray(
+            refit_event_gains(
+                jnp.asarray(tgt), jnp.asarray(ch), ridge=1e-9, span=200
+            )
+        )
+        assert np.isfinite(gains).all()
+        assert abs(gains[0, 1]) < 1e-3
+        assert np.allclose(gains[0, [0, 2]], 1.0, atol=1e-2)
+
+    def test_gradients_flow_through_solve(self):
+        from mptpu.models.siam import refit_event_gains
+
+        rng = np.random.default_rng(3)
+        ch = jnp.asarray(rng.normal(size=(1, 4, 128)).astype(np.float32))
+        tgt = jnp.asarray(rng.normal(size=(1, 1, 128)).astype(np.float32))
+
+        def loss(ch):
+            g = refit_event_gains(tgt, ch, ridge=1e-3)
+            recon = jnp.einsum("be,ben->bn", g, ch)
+            return jnp.sum((tgt[:, 0] - recon) ** 2)
+
+        grads = jax.grad(loss)(ch)
+        assert np.isfinite(np.asarray(grads)).all()
+        assert float(jnp.sum(jnp.abs(grads))) > 0.0
+
+    def test_streaming_refit_never_worse(self):
+        """The streaming walk's OMP gain re-fit (refit_gains_against)
+        must not raise waveform error vs the plain walk: unit gains are
+        in its feasible set (models/siam.py refit_event_gains)."""
+        from mptpu.models.siam import SIAMModel, make_streaming_fn
+
+        model = SIAMModel(
+            n_samples=2**11, context_dim=8, in_channels=257,
+            hidden_channels=16, n_events=2,
+            transform_window_size=512, transform_step_size=256,
+            fft_resonance=True,
+        )
+        audio = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 2**12)) * 0.1
+        params = model.init(KEY, audio[..., : 2**11], KEY)
+        stream = make_streaming_fn(model)
+        plain = stream(params, audio, KEY, fixed_noise=True)
+        refit = stream(
+            params, audio, KEY, fixed_noise=True,
+            refit_gains_against=audio, refit_ridge=1e-6,
+        )
+        assert refit.shape == plain.shape
+        tgt = np.asarray(audio)
+        err_plain = float(np.sum((tgt - np.asarray(plain)) ** 2))
+        err_refit = float(np.sum((tgt - np.asarray(refit)) ** 2))
+        assert np.isfinite(err_refit)
+        assert err_refit <= err_plain * (1 + 1e-4)
+
+
+class TestRefineEventAlignment:
+    """Shift+gain coordinate descent (models/siam.py) — fixes the
+    frame-quantized placement phase error the encoder's attention
+    cannot express (reference places at frame resolution,
+    ``iterativedecomposition.py:340-390``)."""
+
+    def test_recovers_known_shifts_and_gains(self):
+        from mptpu.models.siam import refine_event_alignment
+
+        rng = np.random.default_rng(0)
+        n, e = 4096, 4
+        base = rng.normal(size=(1, e, n)).astype(np.float32)
+        true_shift = np.array([[7, -120, 33, 0]])
+        true_gain = np.array([[1.5, -0.7, 2.0, 0.9]], np.float32)
+        tgt = np.zeros((1, n), np.float32)
+        for i in range(e):
+            tgt += true_gain[0, i] * np.roll(base[0, i], true_shift[0, i])
+        refined, shifts, gains = refine_event_alignment(
+            jnp.asarray(tgt[:, None]), jnp.asarray(base),
+            max_shift=128, n_iters=3, ridge=1e-9,
+        )
+        recon = np.einsum("be,ben->bn", np.asarray(gains), np.asarray(refined))
+        err = np.sum((tgt - recon) ** 2) / np.sum(tgt**2)
+        snr = -10 * np.log10(err + 1e-12)
+        assert snr > 30.0, snr
+        assert np.array_equal(np.asarray(shifts), true_shift), shifts
+
+    def test_monotone_improvement_over_raw_sum(self):
+        from mptpu.models.siam import refine_event_alignment
+
+        rng = np.random.default_rng(1)
+        ch = jnp.asarray(rng.normal(size=(2, 5, 1024)).astype(np.float32))
+        tgt = jnp.asarray(rng.normal(size=(2, 1, 1024)).astype(np.float32))
+        refined, _, gains = refine_event_alignment(
+            tgt, ch, max_shift=64, n_iters=2, ridge=1e-9
+        )
+        recon = jnp.einsum("be,ben->bn", gains, refined)
+        err_after = np.asarray(jnp.sum((tgt[:, 0] - recon) ** 2, axis=-1))
+        err_before = np.asarray(
+            jnp.sum((tgt[:, 0] - jnp.sum(ch, axis=1)) ** 2, axis=-1)
+        )
+        assert np.all(err_after <= err_before + 1e-4)
+        assert np.isfinite(err_after).all()

@@ -357,6 +357,7 @@ def refine_event_alignment(
     max_shift: int = 256,
     n_iters: int = 2,
     ridge: float = 1e-3,
+    span: int | None = None,
 ):
     """Coordinate-descent shift+gain refinement of decoded events.
 
@@ -378,18 +379,53 @@ def refine_event_alignment(
     the final joint re-fit gains; sum ``einsum('be,ben->bn', gains,
     refined_channels)`` for the reconstruction.
     """
+    if span is not None:
+        # run the analysis on the spanned slice (e.g. the streaming-
+        # covered first half during overfit training, matching
+        # refit_event_gains(span=...)), then apply the resulting
+        # corrections to the FULL-length channels. The slice wraps
+        # circularly at `span` instead of `n` during analysis — a
+        # max_shift-sample edge effect, negligible for max_shift << span.
+        _, shifts, gains = refine_event_alignment(
+            target[..., :span],
+            channels[..., :span],
+            max_shift=max_shift,
+            n_iters=n_iters,
+            ridge=ridge,
+        )
+        n_full = channels.shape[-1]
+        idx = (
+            jnp.arange(n_full)[None, None, :] - shifts[..., None]
+        ) % n_full
+        refined = jnp.take_along_axis(channels, idx, axis=-1)
+        return refined, shifts, gains
+
     n = channels.shape[-1]
     n_events = channels.shape[1]
     tgt = target[:, 0]
+
+    # seed from the JOINT gain re-fit: the per-event coordinate descent
+    # is monotone from wherever it starts, so starting at the refit
+    # state guarantees the aligned result is never worse than
+    # :func:`refit_event_gains` alone (starting from raw channels only
+    # guarantees never-worse-than-raw, and a greedy early shift can then
+    # land below the plain refit — observed on the tiny overfit smoke).
+    # Channels stay UNIT-scale (shift-only) throughout; gains live in a
+    # separate cumulative vector so the returned corrections are
+    # ABSOLUTE — decode re-renders raw channels and must be able to
+    # apply (shift, gain) directly (inference.py SIAMEncoding).
+    cum = refit_event_gains(target, channels, ridge=ridge)
 
     # allowed circular lags: [0..max_shift] and [n-max_shift..n-1]
     lag_mask = jnp.zeros((n,), bool).at[: max_shift + 1].set(True)
     lag_mask = lag_mask.at[n - max_shift :].set(True)
 
-    def one_event(chs, e):
-        ch = jnp.take(chs, e, axis=1)
-        others = jnp.sum(chs, axis=1) - ch
-        resid = tgt - others
+    def one_event(carry, e):
+        chs, cum = carry
+        ch = jnp.take(chs, e, axis=1)  # unit-scale, shifted-so-far
+        ce = jnp.take(cum, e, axis=1)
+        total = jnp.einsum("be,ben->bn", cum, chs)
+        resid = tgt - (total - ce[:, None] * ch)
         # xc[k] = <resid, roll(ch, k)> for every circular lag k
         # repo fft helpers, not jnp.fft — the axon backend's ortho-norm
         # and eager-complex gaps are papered over there (CLAUDE.md)
@@ -407,20 +443,24 @@ def refine_event_alignment(
         # roll each batch row by its own lag (delayed by k, circular)
         idx = (jnp.arange(n)[None, :] - k[:, None]) % n
         shifted = jnp.take_along_axis(ch, idx, axis=-1)
-        new_ch = gain[:, None] * shifted
-        chs = chs.at[:, e].set(new_ch)
+        chs = chs.at[:, e].set(shifted)
+        cum = cum.at[:, e].set(gain)
         # signed shift in [-max_shift, max_shift]
         signed = jnp.where(k > n // 2, k - n, k)
-        return chs, signed
+        return (chs, cum), signed
 
-    def sweep(chs, _):
-        chs, shifts = lax.scan(one_event, chs, jnp.arange(n_events))
-        return chs, shifts
+    def sweep(carry, _):
+        carry, shifts = lax.scan(one_event, carry, jnp.arange(n_events))
+        return carry, shifts
 
-    refined, shift_hist = lax.scan(sweep, channels, jnp.arange(n_iters))
+    (refined, cum), shift_hist = lax.scan(
+        sweep, (channels, cum), jnp.arange(n_iters)
+    )
     # each sweep returns incremental lags; the wire-format correction is
     # their (circular) cumulative sum
     shifts = jnp.swapaxes(jnp.sum(shift_hist, axis=0), 0, 1)  # (batch, E)
+    # final joint re-fit over the aligned channels; `cum` is in its
+    # feasible set, so this can only improve further
     gains = refit_event_gains(target, refined, ridge=ridge)
     return refined, shifts, gains
 

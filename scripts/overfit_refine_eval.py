@@ -123,7 +123,7 @@ def main():
     refit = jnp.einsum("be,ben->bn", gains, channels)[:, None]
     refined_ch, shifts, a_gains = refine_event_alignment(
         target, channels, max_shift=args.align_refine,
-        n_iters=args.align_iters, ridge=args.gain_refit,
+        n_iters=args.align_iters, ridge=args.gain_refit, span=half,
     )
     aligned = jnp.einsum("be,ben->bn", a_gains, refined_ch)[:, None]
 

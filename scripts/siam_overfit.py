@@ -137,6 +137,14 @@ def main():
                         "re-aligns each decoded event against the "
                         "residual of the others, the MP refinement "
                         "pass")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="Polyak-average the params at this decay and "
+                        "score the average at every eval (0 = off). The "
+                        "25-step loss samples of a FULL-BATCH fixed-"
+                        "noise run swing by hundreds: greedy selection "
+                        "flips make the loss landscape piecewise — "
+                        "averaging over the flip dynamics is the "
+                        "standard smoother")
     p.add_argument("--fixed-noise", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=3)
@@ -266,7 +274,7 @@ def main():
         return loss, (recon, wave)
 
     @jax.jit
-    def train_step(params, opt_state, key, wave_w, clip, lr_mult):
+    def train_step(params, opt_state, ema, key, wave_w, clip, lr_mult):
         (loss, (recon, wave)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, key, wave_w)
@@ -284,7 +292,15 @@ def main():
         opt_out = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
         )
-        return params_out, opt_out, loss, wave, gnorm, ok
+        if args.ema:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: jnp.where(
+                    ok, args.ema * e + (1.0 - args.ema) * p, e
+                ),
+                ema,
+                params_out,
+            )
+        return params_out, opt_out, ema, loss, wave, gnorm, ok
 
     @jax.jit
     def reconstruct(params, key):
@@ -304,6 +320,7 @@ def main():
                 max_shift=args.align_refine,
                 n_iters=2,
                 ridge=args.gain_refit or 1e-3,
+                span=half,
             )
             aligned = jnp.einsum("be,ben->bn", gains, refined)[:, None]
         else:
@@ -321,7 +338,8 @@ def main():
             f"selection_leak {args.selection_leak}, "
             f"selection_floor {args.selection_floor}, "
             f"eval_regress_db {args.eval_regress_db}, "
-            f"gain_refit {args.gain_refit}"
+            f"gain_refit {args.gain_refit}, "
+            f"align_refine {args.align_refine}, ema {args.ema}"
         ),
         "eval": [],
         "losses": [],
@@ -342,6 +360,7 @@ def main():
     run_start = time.perf_counter()
     best_snr = -np.inf
     best_aligned = -np.inf
+    best_artifact = -np.inf  # best recon saved to disk (params OR ema)
     nan_steps = 0
     rollbacks = 0
     good_streak = 0
@@ -360,8 +379,10 @@ def main():
     best_eval = (params, opt_state, start_step)
 
     def rollback(i):
-        nonlocal params, opt_state, lr_mult, rollbacks, good_streak, gnorm_hist
+        nonlocal params, opt_state, ema, lr_mult, rollbacks, good_streak, \
+            gnorm_hist
         params, opt_state, good_step = good
+        ema = params  # drop a possibly-poisoned average
         lr_mult *= 0.5
         rollbacks += 1
         good_streak = 0
@@ -373,12 +394,15 @@ def main():
         )
 
     last_i = start_step
+    # EMA restarts from the (possibly resumed) params — it is an
+    # eval-side average, not training state, so it is not checkpointed
+    ema = params
     pending = None  # (i, loss, wave, gnorm, ok) of the PREVIOUS step
     for i in range(start_step, args.iterations):
         last_i = i
         step_key = noise_key if args.fixed_noise else jax.random.fold_in(key, i)
-        params, opt_state, loss, wave, gnorm, ok = train_step(
-            params, opt_state, step_key,
+        params, opt_state, ema, loss, wave, gnorm, ok = train_step(
+            params, opt_state, ema, step_key,
             jnp.float32(args.waveform_weight),
             jnp.float32(args.grad_clip),
             jnp.float32(lr_mult),
@@ -506,6 +530,26 @@ def main():
                     float(snr_db(target[..., :half], raw_recon[..., :half])),
                     3,
                 )
+            if args.ema:
+                # best_snr stays TRAINING-params-only (it drives the
+                # eval-regress rollback; letting the usually-higher EMA
+                # number into it would rollback healthy training) — the
+                # averaged params compete only for the artifact below
+                _, e_recon, _, _, _ = reconstruct(ema, eval_key)
+                e_half = float(
+                    snr_db(target[..., :half], e_recon[..., :half])
+                )
+                entry["ema_first_half_snr_db"] = round(e_half, 3)
+                if e_half > best_artifact:
+                    best_artifact = e_half
+                    write_wav(
+                        os.path.join(args.out, "recon_best.wav"),
+                        np.asarray(e_recon[0, 0]), 22050,
+                    )
+                    save_checkpoint(
+                        os.path.join(args.out, "ckpt_ema_best.pkl"),
+                        ema, None, i,
+                    )
             if args.align_refine:
                 a_half = float(
                     snr_db(target[..., :half], aligned_recon[..., :half])
@@ -534,16 +578,19 @@ def main():
             if s_half > best_snr:
                 best_snr = s_half
                 best_eval = (params, opt_state, i)
-                write_wav(
-                    os.path.join(args.out, "recon_best.wav"),
-                    np.asarray(recon[0, 0]), 22050,
-                )
+                if s_half > best_artifact:
+                    best_artifact = s_half
+                    write_wav(
+                        os.path.join(args.out, "recon_best.wav"),
+                        np.asarray(recon[0, 0]), 22050,
+                    )
             elif (
                 args.eval_regress_db
                 and best_snr > 0.5
                 and s_half < best_snr - args.eval_regress_db
             ):
                 params, opt_state, be_step = best_eval
+                ema = params
                 lr_mult *= 0.5
                 rollbacks += 1
                 good_streak = 0
@@ -575,6 +622,10 @@ def main():
         os.path.join(args.out, f"ckpt_{last_i:09d}.pkl"), params, opt_state, last_i
     )
     metrics["best_first_half_snr_db"] = round(float(best_snr), 3)
+    if args.ema:
+        metrics["best_artifact_first_half_snr_db"] = round(
+            float(best_artifact), 3
+        )
     if args.align_refine:
         metrics["best_aligned_first_half_snr_db"] = round(
             float(best_aligned), 3

@@ -196,6 +196,30 @@ class TestCodecRefinement:
         # decode re-renders the same channels (same fold keys), so the
         # refinement's monotone-improvement guarantee survives the wire
         assert err_refined <= err_plain * (1 + 1e-4)
+        # the wire contract: gains are ABSOLUTE and shifts cumulative —
+        # decode(enc) must equal applying them to the encode channels
+        ch = np.asarray(refined.channels)
+        shifted = np.stack(
+            [
+                np.roll(ch[0, i], int(np.asarray(refined.shifts)[0, i]))
+                for i in range(ch.shape[1])
+            ]
+        )[None]
+        expected = np.einsum(
+            "be,ben->bn", np.asarray(refined.gains), shifted
+        )[:, None]
+        np.testing.assert_allclose(dec_refined, expected, rtol=1e-4,
+                                   atol=1e-5)
+        # refinement-from-refit seeding: aligned must also beat the plain
+        # joint gain re-fit, not just the raw sum
+        from mptpu.models.siam import refit_event_gains
+
+        g = refit_event_gains(audio, plain.channels, ridge=1e-3)
+        refit_rec = np.asarray(
+            jnp.einsum("be,ben->bn", g, plain.channels)
+        )[:, None]
+        err_refit = float(np.sum((tgt - refit_rec) ** 2))
+        assert err_refined <= err_refit * (1 + 1e-4)
 
     def test_reconstruct_refit_flag(self):
         codec = _tiny_codec()

@@ -147,6 +147,16 @@ def main():
                         "standard smoother")
     p.add_argument("--fixed-noise", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--n-samples-log2", type=int, default=0,
+                   help="override segment length (0 = config default); "
+                        "with --n-events/--hidden/--context-dim this "
+                        "gives intermediate capacity points between "
+                        "--tiny and the full reference config (e.g. a "
+                        "CPU-sized medium run while the TPU relay is "
+                        "down)")
+    p.add_argument("--n-events", type=int, default=0)
+    p.add_argument("--hidden", type=int, default=0)
+    p.add_argument("--context-dim", type=int, default=0)
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--out", type=str, default="trained_weights/siam_overfit")
     p.add_argument("--watchdog-s", type=int, default=12600)
@@ -183,6 +193,11 @@ def main():
     else:
         n_samples, n_events, hidden, context_dim = 2**17, 32, 128, 32
         window, step_sz = 2048, 256
+    if args.n_samples_log2:
+        n_samples = 2 ** args.n_samples_log2
+    n_events = args.n_events or n_events
+    hidden = args.hidden or hidden
+    context_dim = args.context_dim or context_dim
 
     model = SIAMModel(
         n_samples=n_samples,

@@ -30,6 +30,7 @@ import flax.linen as nn
 
 from ..ops.stft import stft
 from ..ops.fft import rfft, irfft
+from ..ops.refit import refit_gains
 from ..ops.ste import sparse_softmax, leaky_relu_ste
 from ..sparse.topk import sparsify, sparsify_vectors
 from ..nn.anticausal import AntiCausalAnalysis
@@ -335,20 +336,7 @@ def refit_event_gains(
       ``(batch, n_events)`` gains; ``einsum('be,ben->bn', gains,
       channels)`` is the refit reconstruction.
     """
-    tgt = target[:, 0, :span] if span is not None else target[:, 0]
-    ch = channels[..., :span] if span is not None else channels
-    gram = jnp.einsum("ben,bfn->bef", ch, ch)
-    rhs = jnp.einsum("ben,bn->be", ch, tgt)
-    n_events = channels.shape[1]
-    # scale-invariant ridge: mean diagonal energy (plus an absolute
-    # epsilon so an all-silent decode still yields a finite solve)
-    lam = ridge * (
-        jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] / n_events + 1e-12
-    )
-    gains = jnp.linalg.solve(
-        gram + lam * jnp.eye(n_events, dtype=gram.dtype)[None], rhs[..., None]
-    )[..., 0]
-    return gains
+    return refit_gains(target, channels, ridge=ridge, span=span)
 
 
 def refine_event_alignment(

@@ -26,6 +26,7 @@ from .matching_pursuit import (
     reconstruct_from_events,
     SparseCodeResult,
 )
+from .omp_refit import omp_refit, event_tracks
 from .fast_mp import sparse_code_fast, dictionary_gram
 from .quantize import select_items, hard_choice, QuantizedResonanceMixture
 from .multiband import BandSpec, MultibandDictionaryLearning
@@ -48,6 +49,8 @@ __all__ = [
     "scatter_events",
     "reconstruct_from_events",
     "SparseCodeResult",
+    "omp_refit",
+    "event_tracks",
     "sparse_code_fast",
     "dictionary_gram",
     "select_items",

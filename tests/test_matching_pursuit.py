@@ -215,3 +215,61 @@ class TestMultiband:
         np.testing.assert_allclose(
             np.asarray(shuffled), np.asarray(canonical), rtol=1e-4, atol=1e-5
         )
+
+
+class TestOMPRefit:
+    """Joint amplitude re-solve over a greedy code
+    (mptpu/sparse/omp_refit.py — the OMP upgrade the reference lacks)."""
+
+    def test_refit_never_increases_residual(self):
+        from mptpu.sparse import sparse_code, omp_refit, reconstruct_from_events
+
+        rng = np.random.default_rng(0)
+        d = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+        sig = jnp.asarray(rng.standard_normal((2, 1, 1024)).astype(np.float32))
+        greedy = sparse_code(sig, d, n_steps=12)
+        refit = omp_refit(sig, greedy, d, ridge=1e-9)
+        # same support, new amplitudes
+        np.testing.assert_array_equal(
+            np.asarray(greedy.atom_indices), np.asarray(refit.atom_indices)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(greedy.positions), np.asarray(refit.positions)
+        )
+        g_err = float(jnp.sum((sig - reconstruct_from_events(greedy, d)) ** 2))
+        r_err = float(jnp.sum((sig - reconstruct_from_events(refit, d)) ** 2))
+        assert np.isfinite(r_err)
+        assert r_err <= g_err * (1 + 1e-5), (r_err, g_err)
+        # the returned residual is consistent with the refit reconstruction
+        np.testing.assert_allclose(
+            np.asarray(refit.residual),
+            np.asarray(sig - reconstruct_from_events(refit, d)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_exactly_representable_signal_recovers_amplitudes(self):
+        from mptpu.sparse import sparse_code, omp_refit
+        from mptpu.sparse.matching_pursuit import _as3d, _normalize_dict, scatter_events
+
+        rng = np.random.default_rng(1)
+        d = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+        dn = _normalize_dict(_as3d(d))
+        # signal = 3 placed atoms with known amplitudes, well separated
+        idx = jnp.asarray([[0], [3], [6]], dtype=jnp.int32)
+        pos = jnp.asarray([[10], [200], [400]], dtype=jnp.int32)
+        val = jnp.asarray([[2.0], [-1.5], [0.7]], dtype=jnp.float32)
+        sig = scatter_events(idx, pos, val, dn, 512)
+        # hand-built code with the TRUE support but wrong amplitudes
+        # (greedy may land a lag or two off the true positions, so exact
+        # support recovery is not the property under test — joint
+        # amplitude recovery given the support is)
+        from mptpu.sparse import SparseCodeResult
+
+        wrong = SparseCodeResult(
+            idx, pos, jnp.ones_like(val), sig  # residual placeholder
+        )
+        refit = omp_refit(sig, wrong, d, ridge=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(refit.values), np.asarray(val), rtol=1e-3, atol=1e-4
+        )
+        assert float(jnp.linalg.norm(refit.residual)) < 1e-3

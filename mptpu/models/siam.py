@@ -555,6 +555,7 @@ def make_streaming_fn(model: SIAMModel):
         fixed_noise: bool = False,
         refit_gains_against: jax.Array | None = None,
         refit_ridge: float = 1e-3,
+        align_refine: int = 0,
     ):
         """``fixed_noise=True`` passes the SAME key to every window
         (instead of the reference's per-window fold): required when
@@ -603,9 +604,17 @@ def make_streaming_fn(model: SIAMModel):
                 buf = jnp.zeros((1, model.n_events, samps + window_size))
                 bufs.append(lax.dynamic_update_slice(buf, ch, (0, 0, off)))
             tracks = jnp.concatenate(bufs, axis=1)[..., :samps]
-            gains = refit_event_gains(
-                refit_gains_against, tracks, ridge=refit_ridge
-            )
+            if align_refine:
+                # shift+gain coordinate descent over every (window,
+                # event) track — aligned >= refit >= raw holds here too
+                tracks, _, gains = refine_event_alignment(
+                    refit_gains_against, tracks,
+                    max_shift=align_refine, ridge=refit_ridge,
+                )
+            else:
+                gains = refit_event_gains(
+                    refit_gains_against, tracks, ridge=refit_ridge
+                )
             final = jnp.einsum("be,ben->bn", gains, tracks)[:, None]
         if not return_event_vectors:
             return final
@@ -628,6 +637,7 @@ def streaming_encode(
     fixed_noise: bool = False,
     refit_gains_against: jax.Array | None = None,
     refit_ridge: float = 1e-3,
+    align_refine: int = 0,
 ):
     """One-shot convenience wrapper over :func:`make_streaming_fn` (use
     the factory directly when calling repeatedly — it caches the jitted
@@ -635,5 +645,5 @@ def streaming_encode(
     return make_streaming_fn(model)(
         params, audio, key, return_event_vectors=return_event_vectors,
         fixed_noise=fixed_noise, refit_gains_against=refit_gains_against,
-        refit_ridge=refit_ridge,
+        refit_ridge=refit_ridge, align_refine=align_refine,
     )

@@ -46,6 +46,11 @@ def main():
                    help="also score the walk with OMP per-(window,event) "
                         "amplitude re-projection at this ridge "
                         "(models/siam.py refit_event_gains; 0 = skip)")
+    p.add_argument("--align-refine", type=int, default=0,
+                   help="with --gain-refit, additionally shift-align "
+                        "every (window,event) track within this many "
+                        "samples (refine_event_alignment; 0 = gains "
+                        "only)")
     p.add_argument("--watchdog-s", type=int, default=3600)
     args = p.parse_args()
 
@@ -110,6 +115,7 @@ def main():
                 target, ((0, 0), (0, 0), (0, n_samples))
             ),
             refit_ridge=args.gain_refit,
+            align_refine=args.align_refine,
         )[..., :n_samples]
         _ = float(recon_refit.sum())
 
@@ -136,6 +142,7 @@ def main():
     }
     if recon_refit is not None:
         out["refit_ridge"] = args.gain_refit
+        out["align_refine"] = args.align_refine
         out["refit_full_snr_db"] = round(snr(target, recon_refit), 3)
         out["refit_full_lsd_db"] = round(lsd(target, recon_refit), 3)
         out["refit_first_half_snr_db"] = round(

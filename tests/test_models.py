@@ -633,3 +633,29 @@ class TestRefineEventAlignment:
         )
         assert np.all(err_after <= err_before + 1e-4)
         assert np.isfinite(err_after).all()
+
+    def test_streaming_align_refine_never_worse_than_refit(self):
+        from mptpu.models.siam import SIAMModel, make_streaming_fn
+
+        model = SIAMModel(
+            n_samples=2**11, context_dim=8, in_channels=257,
+            hidden_channels=16, n_events=2,
+            transform_window_size=512, transform_step_size=256,
+            fft_resonance=True,
+        )
+        audio = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 2**12)) * 0.1
+        params = model.init(KEY, audio[..., : 2**11], KEY)
+        stream = make_streaming_fn(model)
+        refit = stream(
+            params, audio, KEY, fixed_noise=True,
+            refit_gains_against=audio, refit_ridge=1e-6,
+        )
+        aligned = stream(
+            params, audio, KEY, fixed_noise=True,
+            refit_gains_against=audio, refit_ridge=1e-6, align_refine=32,
+        )
+        tgt = np.asarray(audio)
+        err_refit = float(np.sum((tgt - np.asarray(refit)) ** 2))
+        err_aligned = float(np.sum((tgt - np.asarray(aligned)) ** 2))
+        assert np.isfinite(err_aligned)
+        assert err_aligned <= err_refit * (1 + 1e-4)

@@ -155,6 +155,11 @@ def main():
                         "CPU-sized medium run while the TPU relay is "
                         "down)")
     p.add_argument("--n-events", type=int, default=0)
+    p.add_argument("--audio-events", type=int, default=0,
+                   help="override the synthetic target's audio-event "
+                        "count (default 8/sec ~= 47 events at 2^17 — "
+                        "note that UNDER-provisions the 32-event codec; "
+                        "a capacity-matched run sets this <= n_events)")
     p.add_argument("--hidden", type=int, default=0)
     p.add_argument("--context-dim", type=int, default=0)
     p.add_argument("--seed", type=int, default=3)
@@ -221,7 +226,8 @@ def main():
     from mptpu.data.synthetic import synthetic_audio
 
     seg = synthetic_audio(
-        n_samples, 22050, n_events=int(n_samples / 22050 * 8),
+        n_samples, 22050,
+        n_events=args.audio_events or int(n_samples / 22050 * 8),
         seed=args.seed, sustained=True,
     )
     target = jnp.asarray(seg).reshape(1, 1, n_samples)
@@ -354,7 +360,8 @@ def main():
             f"selection_floor {args.selection_floor}, "
             f"eval_regress_db {args.eval_regress_db}, "
             f"gain_refit {args.gain_refit}, "
-            f"align_refine {args.align_refine}, ema {args.ema}"
+            f"align_refine {args.align_refine}, ema {args.ema}, "
+            f"audio_events {args.audio_events or 'default(8/sec)'}"
         ),
         "eval": [],
         "losses": [],

@@ -27,7 +27,7 @@ apply_platform_from_env()
 import numpy as np
 
 
-def build(checkpoint: str | None, tiny: bool):
+def build(checkpoint: str | None, tiny: bool, noise_seed: int = 0):
     from mptpu.models.inference import SIAMCodec
     from mptpu.models.instrument import PlayableInstrument
     from mptpu.models.siam import SIAMModel
@@ -40,17 +40,36 @@ def build(checkpoint: str | None, tiny: bool):
         )
     else:
         model = SIAMModel()
-    codec = SIAMCodec(model=model, checkpoint_dir=checkpoint)
+    codec = SIAMCodec(model=model, checkpoint_dir=checkpoint, seed=noise_seed)
     return PlayableInstrument(codec)
 
 
-def demo_phrase(inst, out_path: str, harvest_seed: int | None = None):
+def demo_phrase(inst, out_path: str, harvest_seed: int | None = None,
+                harvest_wav: str | None = None):
     """One-shot: an arpeggio of notes (used by tests). With
-    ``harvest_seed`` the notes are event vectors harvested from a real
-    segment through the trained encoder — the checkpoint's own learned
-    sounds — instead of random latents (reference ``interactive.py``'s
-    click-to-place workflow seeded from an encoded segment)."""
-    if harvest_seed is not None:
+    ``harvest_seed``/``harvest_wav`` the notes are event vectors
+    harvested from a real segment through the trained encoder — the
+    checkpoint's own learned sounds — instead of random latents
+    (reference ``interactive.py``'s click-to-place workflow seeded from
+    an encoded segment). ``harvest_wav`` points at a wav (e.g. an
+    overfit run's own ``target.wav``) so the bank is exactly what the
+    checkpoint memorized."""
+    if harvest_wav is not None:
+        import jax.numpy as jnp
+
+        from mptpu.utils.wav import read_wav
+
+        wav, _ = read_wav(harvest_wav)
+        wav = np.asarray(wav, dtype=np.float32)[: inst.model.n_samples]
+        if wav.shape[0] < inst.model.n_samples:
+            wav = np.pad(wav, (0, inst.model.n_samples - wav.shape[0]))
+        seg = jnp.asarray(wav).reshape(1, 1, -1)
+        bank = inst.harvest_bank(seg)
+        n = bank.shape[0]
+        for i, t in enumerate([0.0, 0.25, 0.5, 0.75, 1.0, 1.5, 2.0]):
+            inst.add_note(inst.bank_vector(i % n), t,
+                          amplitude=1.0 - 0.08 * i)
+    elif harvest_seed is not None:
         from mptpu.data import AudioIterator
 
         seg = next(iter(AudioIterator(
@@ -68,6 +87,13 @@ def demo_phrase(inst, out_path: str, harvest_seed: int | None = None):
     audio = inst.render()
     from mptpu.utils.wav import write_wav
 
+    # output gain: a checkpoint's raw event amplitudes can be tiny (the
+    # greedy amplitudes are miscalibrated — see refit_event_gains), so
+    # peak-normalize the phrase like any synth's output stage
+    peak = float(np.abs(audio).max()) + 1e-9
+    gain = min(0.5 / peak, 1e4)
+    audio = audio * gain
+    print(f"output gain {gain:.1f}x (raw peak {peak:.5f})")
     write_wav(out_path, audio[0, 0], inst.samplerate)
     print(f"wrote {out_path} ({audio.shape[-1]} samples, "
           f"{audio.shape[-1]/inst.samplerate:.2f}s, rms "
@@ -141,14 +167,23 @@ if __name__ == "__main__":
                         help="match the checkpoint's training-time decoder "
                              "semantics (see scripts/siam_overfit.py)")
     parser.add_argument("--selection-floor", type=float, default=0.0)
+    parser.add_argument("--harvest-wav", type=str, default=None,
+                        help="harvest note vectors from this wav (e.g. an "
+                             "overfit run's target.wav) instead of the "
+                             "synthetic iterator")
+    parser.add_argument("--noise-seed", type=int, default=0,
+                        help="codec PRNG seed; a --fixed-noise overfit "
+                             "checkpoint memorizes PRNGKey(42)'s draws, "
+                             "so pass 42 to play its learned sounds")
     args = parser.parse_args()
     if args.selection_leak or args.selection_floor:
         from mptpu.sparse.quantize import set_selection_leak, set_selection_floor
 
         set_selection_leak(args.selection_leak)
         set_selection_floor(args.selection_floor)
-    inst = build(args.checkpoint, args.tiny)
+    inst = build(args.checkpoint, args.tiny, noise_seed=args.noise_seed)
     if args.demo:
-        demo_phrase(inst, args.demo, harvest_seed=args.harvest_seed)
+        demo_phrase(inst, args.demo, harvest_seed=args.harvest_seed,
+                    harvest_wav=args.harvest_wav)
     else:
         repl(inst)

@@ -169,6 +169,12 @@ def main():
     p.add_argument("--target-snr", type=float, default=0.0,
                    help="stop early once first-half SNR exceeds this (dB); "
                         "0 disables")
+    p.add_argument("--lr-mult-floor", type=float, default=0.0625,
+                   help="lower bound on the rollback lr multiplier — at "
+                        "a plateau, regress rollbacks are NORMAL "
+                        "operation (the greedy selection flips make the "
+                        "objective piecewise) and unbounded halving "
+                        "grinds the run to a stop")
     p.add_argument("--eval-regress-db", type=float, default=0.0,
                    help="roll back to the best-eval snapshot and halve the "
                         "lr multiplier when an eval's first-half SNR drops "
@@ -385,6 +391,7 @@ def main():
     best_artifact = -np.inf  # best recon saved to disk (params OR ema)
     nan_steps = 0
     rollbacks = 0
+    regress_rollbacks = 0
     good_streak = 0
     lr_mult = 1.0
     gnorm_hist: list[float] = []
@@ -542,6 +549,7 @@ def main():
                 "nan_steps_so_far": nan_steps,
                 "lr_mult": lr_mult,
                 "rollbacks": rollbacks,
+                "regress_rollbacks": regress_rollbacks,
             }
             if args.gain_refit:
                 # first_half_snr_db above IS the refit number when the
@@ -613,22 +621,22 @@ def main():
             ):
                 params, opt_state, be_step = best_eval
                 ema = params
-                lr_mult *= 0.5
-                rollbacks += 1
+                # regress rollbacks are NORMAL at a plateau (piecewise
+                # objective from greedy selection flips) — they get their
+                # own counter (no divergence abort) and a floored lr
+                lr_mult = max(args.lr_mult_floor, lr_mult * 0.5)
+                regress_rollbacks += 1
                 good_streak = 0
                 gnorm_hist = []
                 good = best_eval
                 pending = None
                 print(
-                    f"EVAL-REGRESS rollback #{rollbacks} at iter {i}: SNR "
-                    f"{s_half:.2f} < best {best_snr:.2f} - "
+                    f"EVAL-REGRESS rollback #{regress_rollbacks} at iter "
+                    f"{i}: SNR {s_half:.2f} < best {best_snr:.2f} - "
                     f"{args.eval_regress_db}; restored step {be_step}, "
                     f"lr_mult -> {lr_mult:g}",
                     flush=True,
                 )
-                if rollbacks >= 12:
-                    print("ABORT: persistent divergence", flush=True)
-                    break
             if args.target_snr and s_half >= args.target_snr:
                 print(f"target SNR {args.target_snr} dB reached", flush=True)
                 break

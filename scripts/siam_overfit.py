@@ -576,8 +576,13 @@ def main():
                         os.path.join(args.out, "recon_best.wav"),
                         np.asarray(e_recon[0, 0]), 22050,
                     )
+                    # NOT ckpt_-prefixed: CheckpointManager.latest()
+                    # sorts ckpt_* lexically and "ckpt_ema*" would
+                    # shadow every numbered checkpoint on --resume
+                    # (observed: a resume restarted from the EMA-best
+                    # eval params instead of the newest training state)
                     save_checkpoint(
-                        os.path.join(args.out, "ckpt_ema_best.pkl"),
+                        os.path.join(args.out, "ema_best.pkl"),
                         ema, None, i,
                     )
             if args.align_refine:

@@ -169,12 +169,16 @@ def main():
     p.add_argument("--target-snr", type=float, default=0.0,
                    help="stop early once first-half SNR exceeds this (dB); "
                         "0 disables")
-    p.add_argument("--lr-mult-floor", type=float, default=0.0625,
-                   help="lower bound on the rollback lr multiplier — at "
-                        "a plateau, regress rollbacks are NORMAL "
-                        "operation (the greedy selection flips make the "
-                        "objective piecewise) and unbounded halving "
-                        "grinds the run to a stop")
+    p.add_argument("--eval-catastrophe-db", type=float, default=6.0,
+                   help="restore the best-eval snapshot only when an "
+                        "eval falls THIS far below best (a silence-"
+                        "basin fall), halving lr WITHOUT the floor — "
+                        "under --fixed-noise training is deterministic, "
+                        "so a restore that changes nothing repeats the "
+                        "same trajectory forever (observed: a floored "
+                        "restore loop froze every metric for 400+ "
+                        "steps). Milder regressions just wander; the "
+                        "EMA and best-artifact tracking keep the peak")
     p.add_argument("--eval-regress-db", type=float, default=0.0,
                    help="roll back to the best-eval snapshot and halve the "
                         "lr multiplier when an eval's first-half SNR drops "
@@ -185,6 +189,11 @@ def main():
                         "optimizer instability, not a better optimum; this "
                         "makes progress monotone-ish under it")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="load PARAMS (not opt state or step) from this "
+                        "checkpoint file before training — e.g. warm-"
+                        "start a fresh run from another run's "
+                        "ema_best.pkl")
     args = p.parse_args()
 
     faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
@@ -245,6 +254,16 @@ def main():
     opt_state = opt.init(params)
     ckpt = CheckpointManager(args.out, every=250)
     start_step = 0
+    if args.init_from:
+        from mptpu.train.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(args.init_from)
+        params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        print(
+            f"params initialized from {args.init_from} "
+            f"(step {payload['step']})",
+            flush=True,
+        )
     if args.resume:
         payload = ckpt.latest()
         if payload is not None:
@@ -624,24 +643,37 @@ def main():
                 and best_snr > 0.5
                 and s_half < best_snr - args.eval_regress_db
             ):
-                params, opt_state, be_step = best_eval
-                ema = params
-                # regress rollbacks are NORMAL at a plateau (piecewise
-                # objective from greedy selection flips) — they get their
-                # own counter (no divergence abort) and a floored lr
-                lr_mult = max(args.lr_mult_floor, lr_mult * 0.5)
                 regress_rollbacks += 1
-                good_streak = 0
-                gnorm_hist = []
-                good = best_eval
-                pending = None
-                print(
-                    f"EVAL-REGRESS rollback #{regress_rollbacks} at iter "
-                    f"{i}: SNR {s_half:.2f} < best {best_snr:.2f} - "
-                    f"{args.eval_regress_db}; restored step {be_step}, "
-                    f"lr_mult -> {lr_mult:g}",
-                    flush=True,
-                )
+                catastrophic = s_half < best_snr - args.eval_catastrophe_db
+                if catastrophic:
+                    # a silence-basin fall: restore AND halve without the
+                    # floor — under --fixed-noise the dynamics are
+                    # deterministic, so the restore must change the lr
+                    # or the same trajectory repeats forever
+                    params, opt_state, be_step = best_eval
+                    ema = params
+                    lr_mult *= 0.5
+                    good_streak = 0
+                    gnorm_hist = []
+                    good = best_eval
+                    pending = None
+                    print(
+                        f"EVAL-CATASTROPHE restore #{regress_rollbacks} "
+                        f"at iter {i}: SNR {s_half:.2f} < best "
+                        f"{best_snr:.2f} - {args.eval_catastrophe_db}; "
+                        f"restored step {be_step}, lr_mult -> "
+                        f"{lr_mult:g}",
+                        flush=True,
+                    )
+                else:
+                    # mild regression: plateau oscillation — keep going
+                    # (the EMA and the best-artifact files hold the peak)
+                    print(
+                        f"eval regression #{regress_rollbacks} at iter "
+                        f"{i}: SNR {s_half:.2f} vs best {best_snr:.2f} — "
+                        "wandering on",
+                        flush=True,
+                    )
             if args.target_snr and s_half >= args.target_snr:
                 print(f"target SNR {args.target_snr} dB reached", flush=True)
                 break

@@ -77,7 +77,16 @@ def main():
     parser.add_argument("--out", type=str, default="trained_weights/songsplat")
     parser.add_argument("--log-every", type=int, default=25)
     parser.add_argument("--sparsity", type=float, default=0.0)
+    parser.add_argument("--refit", type=float, default=0.0,
+                        help="per-segment OMP gain re-fit ridge for the "
+                             "whole-song render (0 = raw amplitudes)")
+    parser.add_argument("--watchdog-s", type=int, default=0,
+                        help="hard in-process exit bound (0 = off)")
     args = parser.parse_args()
+    if args.watchdog_s:
+        import faulthandler
+
+        faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
 
     if args.tiny:
         total_samples, segment_samples, eps, cap = 2**15, 2**12, 16.0, 8
@@ -161,6 +170,70 @@ def main():
         f"({args.iterations/max(elapsed, 1e-9):.2f} steps/s){trend}",
         flush=True,
     )
+
+    # ---- whole-song artifact: tile non-overlapping segments across the
+    # coverable range, optionally refitting per-segment event gains (the
+    # OMP amplitude fix-up, mptpu/ops/refit.py), and score the result
+    # (reference renders per-segment demo audio only, songsplat.py:551+)
+    import json
+
+    from mptpu.ops.refit import refit_gains
+    from mptpu.utils.wav import write_wav
+
+    @jax.jit
+    def render_segment(params, start_frame, key):
+        rendered, mask, sched, _ = model.apply(params, start_frame, key)
+        return rendered
+
+    recon_song = np.zeros(total_samples, np.float32)
+    seg_frames = model.segment_frames
+    covered_lo = seg_frames * model.step_size
+    for start_frame in range(
+        seg_frames, model.total_frames - seg_frames, seg_frames
+    ):
+        rendered = render_segment(
+            params, jnp.array(start_frame),
+            jax.random.fold_in(key, 100000 + start_frame),
+        )
+        s = start_frame * model.step_size
+        tgt = jnp.asarray(
+            song[s : s + model.n_segment_samples]
+        ).reshape(1, 1, -1)
+        if args.refit:
+            g = refit_gains(tgt, rendered[..., : tgt.shape[-1]],
+                            ridge=args.refit)
+            seg = np.asarray(
+                jnp.einsum("be,ben->bn", g, rendered)[0]
+            ).reshape(-1)
+        else:
+            seg = np.asarray(jnp.sum(rendered, axis=1)[0]).reshape(-1)
+        n = min(len(seg), total_samples - s)
+        recon_song[s : s + n] = seg[:n]
+    covered_hi = (model.total_frames - seg_frames) * model.step_size
+    t_cov = song[covered_lo:covered_hi]
+    r_cov = recon_song[covered_lo:covered_hi]
+    snr = float(
+        10 * np.log10(
+            (np.sum(t_cov**2) + 1e-12)
+            / (np.sum((t_cov - r_cov) ** 2) + 1e-12)
+        )
+    )
+    eval_out = {
+        "covered_snr_db": round(snr, 3),
+        "covered_samples": int(covered_hi - covered_lo),
+        "total_samples": int(total_samples),
+        "iterations": args.iterations,
+        "refit_ridge": args.refit,
+        "final_loss": losses[-1] if losses else None,
+    }
+    print("song eval", json.dumps(eval_out), flush=True)
+    with open(os.path.join(args.out, "song_eval.json"), "w") as f:
+        json.dump(eval_out, f, indent=1)
+    write_wav(os.path.join(args.out, "song_target.wav"), song,
+              model.samplerate)
+    write_wav(os.path.join(args.out, "song_recon.wav"), recon_song,
+              model.samplerate)
+
     if server:
         server.shutdown()
     return losses

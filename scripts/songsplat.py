@@ -156,7 +156,10 @@ def main():
             collection.log("loss", np.asarray(losses[-200:]))
         if i % 100 == 0 and i > 0:
             rnd = model.apply(
-                params, jax.random.fold_in(key, -i), method=SongSplatModel.generate_random
+                # NOT -i: negative fold_in data overflows the uint32
+                # coercion on this jax (crashed at iter 100)
+                params, jax.random.fold_in(key, 2_000_000 + i),
+                method=SongSplatModel.generate_random,
             )
             collection.log("random", np.asarray(jnp.sum(rnd, 1)[0]), kind="audio")
         ckpt.maybe_save(i, params, opt_state)

@@ -224,6 +224,49 @@ def make_overfit_report(run_dir: str, out_path: str):
     print(f"overfit report -> {out_path}")
 
 
+def make_songsplat_report(run_dir: str, out_path: str):
+    """Render a songsplat run's whole-song artifacts (song_target.wav,
+    song_recon.wav, song_eval.json — written by scripts/songsplat.py
+    after training; reference ``songsplat.py:551-714`` renders
+    per-segment demos only)."""
+    import json as _json
+
+    from mptpu.utils.wav import read_wav
+
+    target, sr = read_wav(os.path.join(run_dir, "song_target.wav"))
+    recon, _ = read_wav(os.path.join(run_dir, "song_recon.wav"))
+    with open(os.path.join(run_dir, "song_eval.json")) as f:
+        ev = _json.load(f)
+
+    def spec_img(x, title):
+        s = np.abs(np.asarray(jnp.abs(stft(
+            jnp.asarray(x).reshape(1, 1, -1), 2048, 256, pad=True))))
+        return ImageComponent(np.log(1e-4 + s[0, 0]).T, title)
+
+    conjure_article(
+        out_path,
+        "Whole-song splatting",
+        [
+            AudioComponent(target, sr, "Original song (24 s)"),
+            AudioComponent(
+                recon, sr,
+                f"Splat reconstruction — {ev.get('covered_snr_db', '?')} dB "
+                "covered-region SNR",
+            ),
+            spec_img(target, "Original spectrogram (log)"),
+            spec_img(recon, "Reconstruction spectrogram (log)"),
+        ],
+        intro_markdown=(
+            "# Whole-song event splatting\n"
+            f"{ev.get('iterations', '?')} optimizer steps; "
+            "190 events over 24 s (compression ratio 0.012); "
+            "per-segment OMP gain re-fit at render "
+            f"(ridge {ev.get('refit_ridge', 0)})."
+        ),
+    )
+    print(f"songsplat report -> {out_path}")
+
+
 def make_report(
     checkpoint_dir: str | None,
     out_path: str,
@@ -329,6 +372,9 @@ if __name__ == "__main__":
                              "on the exact audio an --overfit run was fit to")
     parser.add_argument("--metrics", type=str, default=None,
                         help="path to a siam_quality metrics.json to render")
+    parser.add_argument("--songsplat-run", type=str, default=None,
+                        help="render a songsplat run directory's whole-"
+                             "song artifacts")
     parser.add_argument("--overfit-run", type=str, default=None,
                         help="render an overfit run directory's own "
                              "artifacts (target.wav/recon_best.wav/"
@@ -336,6 +382,9 @@ if __name__ == "__main__":
     args = parser.parse_args()
     if args.overfit_run:
         make_overfit_report(args.overfit_run, args.out)
+        sys.exit(0)
+    if args.songsplat_run:
+        make_songsplat_report(args.songsplat_run, args.out)
         sys.exit(0)
     make_report(
         args.checkpoint, args.out, tiny=args.tiny,

@@ -46,7 +46,13 @@ def get_song(path: str | None, total_samples: int, samplerate: int) -> np.ndarra
         return samples[start : start + total_samples].astype(np.float32)
     from mptpu.data.synthetic import synthetic_audio
 
-    return synthetic_audio(total_samples, seed=42)
+    # song-like density: ~4 note events/sec + sustained pedal tones
+    # (the default 16 events over 24 s is mostly silence — trivially
+    # zero loss on most segments and a meaningless whole-song SNR)
+    return synthetic_audio(
+        total_samples, n_events=int(total_samples / 22050 * 4),
+        seed=42, sustained=True,
+    )
 
 
 def segment_stream(song: np.ndarray, model: SongSplatModel, seed: int = 0):

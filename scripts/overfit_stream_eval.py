@@ -42,6 +42,12 @@ def main():
     p.add_argument("--attn-leak", type=float, default=0.1)
     p.add_argument("--switch-clamp", type=float, default=20.0)
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--n-samples-log2", type=int, default=17)
+    p.add_argument("--n-events", type=int, default=32)
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--context-dim", type=int, default=32)
+    p.add_argument("--audio-events", type=int, default=0,
+                   help="match the trainer's synthetic density override")
     p.add_argument("--gain-refit", type=float, default=0.0,
                    help="also score the walk with OMP per-(window,event) "
                         "amplitude re-projection at this ridge "
@@ -61,7 +67,8 @@ def main():
         set_selection_leak(args.selection_leak)
         set_selection_floor(args.selection_floor)
 
-    n_samples, n_events, hidden, context_dim = 2**17, 32, 128, 32
+    n_samples = 2 ** args.n_samples_log2
+    n_events, hidden, context_dim = args.n_events, args.hidden, args.context_dim
     window, step_sz = 2048, 256
     model = SIAMModel(
         n_samples=n_samples, context_dim=context_dim,
@@ -75,7 +82,8 @@ def main():
 
     from mptpu.data.synthetic import synthetic_audio
     seg = synthetic_audio(n_samples, 22050,
-                          n_events=int(n_samples / 22050 * 8),
+                          n_events=args.audio_events
+                          or int(n_samples / 22050 * 8),
                           seed=args.seed, sustained=True)
     target = jnp.asarray(seg).reshape(1, 1, n_samples)
     # training parity (scripts/siam_overfit.py): the trainer fits the

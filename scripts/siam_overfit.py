@@ -408,6 +408,7 @@ def main():
     best_snr = -np.inf
     best_aligned = -np.inf
     best_artifact = -np.inf  # best recon saved to disk (params OR ema)
+    best_ema = -np.inf       # best EMA state (its own checkpoint file)
     nan_steps = 0
     rollbacks = 0
     regress_rollbacks = 0
@@ -589,20 +590,24 @@ def main():
                     snr_db(target[..., :half], e_recon[..., :half])
                 )
                 entry["ema_first_half_snr_db"] = round(e_half, 3)
+                if e_half > best_ema:
+                    # ema_best tracks the best EMA state on ITS OWN
+                    # tracker (keying off the global best_artifact let a
+                    # params peak block every later EMA save — observed:
+                    # a run's ema_best.pkl froze at step 50).
+                    # NOT ckpt_-prefixed: CheckpointManager.latest()
+                    # sorts ckpt_* lexically and "ckpt_ema*" would
+                    # shadow every numbered checkpoint on --resume
+                    best_ema = e_half
+                    save_checkpoint(
+                        os.path.join(args.out, "ema_best.pkl"),
+                        ema, None, i,
+                    )
                 if e_half > best_artifact:
                     best_artifact = e_half
                     write_wav(
                         os.path.join(args.out, "recon_best.wav"),
                         np.asarray(e_recon[0, 0]), 22050,
-                    )
-                    # NOT ckpt_-prefixed: CheckpointManager.latest()
-                    # sorts ckpt_* lexically and "ckpt_ema*" would
-                    # shadow every numbered checkpoint on --resume
-                    # (observed: a resume restarted from the EMA-best
-                    # eval params instead of the newest training state)
-                    save_checkpoint(
-                        os.path.join(args.out, "ema_best.pkl"),
-                        ema, None, i,
                     )
             if args.align_refine:
                 a_half = float(

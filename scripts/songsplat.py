@@ -88,7 +88,16 @@ def main():
                              "whole-song render (0 = raw amplitudes)")
     parser.add_argument("--watchdog-s", type=int, default=0,
                         help="hard in-process exit bound (0 = off)")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore the newest checkpoint in --out "
+                             "before training")
+    parser.add_argument("--render-only", action="store_true",
+                        help="skip training; render the whole-song "
+                             "artifact from the newest checkpoint "
+                             "(implies --resume)")
     args = parser.parse_args()
+    if args.render_only:
+        args.resume = True
     if args.watchdog_s:
         import faulthandler
 
@@ -121,6 +130,22 @@ def main():
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
     ckpt = CheckpointManager(args.out, every=250)
+    start_iter = 0
+    if args.resume:
+        payload = ckpt.latest()
+        if payload is None:
+            if args.render_only:
+                raise SystemExit(f"--render-only: no checkpoint in {args.out}")
+            print("resume requested but no checkpoint found", flush=True)
+        else:
+            params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+            if payload.get("opt_state") is not None:
+                opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, payload["opt_state"])
+            start_iter = int(payload["step"]) + 1
+            print(f"resumed from step {payload['step']}", flush=True)
+    if args.render_only:
+        args.iterations = 0
     collection = Collection(os.path.join(args.out, "dashboard"))
     server = serve_collection(collection, port=args.port) if args.port else None
 
@@ -145,7 +170,9 @@ def main():
 
     losses = []
     t0 = time.perf_counter()
-    for i in range(args.iterations):
+    n_steps = 0
+    for i in range(start_iter, args.iterations):
+        n_steps += 1
         target, start_frame = next(stream)
         params, opt_state, loss, recon, n_in_range = train_step(
             params, opt_state, target, jnp.array(start_frame), jax.random.fold_in(key, i)
@@ -171,12 +198,19 @@ def main():
         ckpt.maybe_save(i, params, opt_state)
 
     elapsed = time.perf_counter() - t0
+    if n_steps:
+        from mptpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(args.out, f"ckpt_{i:09d}.pkl"),
+            params, opt_state, step=i,
+        )
     trend = (
         f", loss {losses[0]:.1f} -> {losses[-1]:.1f}" if losses else ""
     )
     print(
-        f"done: {args.iterations} iters in {elapsed:.1f}s "
-        f"({args.iterations/max(elapsed, 1e-9):.2f} steps/s){trend}",
+        f"done: {n_steps} iters in {elapsed:.1f}s "
+        f"({n_steps/max(elapsed, 1e-9):.2f} steps/s){trend}",
         flush=True,
     )
 

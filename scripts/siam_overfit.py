@@ -410,7 +410,8 @@ def main():
     best_artifact = -np.inf  # best recon saved to disk (params OR ema)
     best_ema = -np.inf       # best EMA state (its own checkpoint file)
     nan_steps = 0
-    rollbacks = 0
+    rollbacks = 0  # CONSECUTIVE (reset on each new healthy snapshot)
+    total_rollbacks = 0
     regress_rollbacks = 0
     good_streak = 0
     lr_mult = 1.0
@@ -429,16 +430,28 @@ def main():
 
     def rollback(i):
         nonlocal params, opt_state, ema, lr_mult, rollbacks, good_streak, \
-            gnorm_hist
+            gnorm_hist, perturb_until, last_rb_step, total_rollbacks
         params, opt_state, good_step = good
         ema = params  # drop a possibly-poisoned average
         lr_mult *= 0.5
         rollbacks += 1
+        total_rollbacks += 1
         good_streak = 0
         gnorm_hist = []
+        extra = ""
+        if good_step == last_rb_step and args.fixed_noise:
+            # repeat rollback to the SAME snapshot: under --fixed-noise
+            # the objective is deterministic in params, so lr-halving
+            # alone can replay the identical cliff (medium2 died with
+            # the BAD loss bit-identical across rollbacks, 910482.50
+            # twice). Detour through the stochastic objective for a few
+            # steps to leave the cliff's basin, then return.
+            perturb_until = i + 30
+            extra = "; perturbing step key for 30 steps"
+        last_rb_step = good_step
         print(
-            f"ROLLBACK #{rollbacks} at iter {i} to step {good_step}; "
-            f"lr_mult -> {lr_mult:g}",
+            f"ROLLBACK #{total_rollbacks} at iter {i} to step {good_step}; "
+            f"lr_mult -> {lr_mult:g}{extra}",
             flush=True,
         )
 
@@ -446,10 +459,16 @@ def main():
     # EMA restarts from the (possibly resumed) params — it is an
     # eval-side average, not training state, so it is not checkpointed
     ema = params
+    perturb_until = start_step  # see rollback(): fixed-noise cliff detour
+    last_rb_step = -1
     pending = None  # (i, loss, wave, gnorm, ok) of the PREVIOUS step
     for i in range(start_step, args.iterations):
         last_i = i
-        step_key = noise_key if args.fixed_noise else jax.random.fold_in(key, i)
+        step_key = (
+            noise_key
+            if args.fixed_noise and i >= perturb_until
+            else jax.random.fold_in(key, i)
+        )
         params, opt_state, ema, loss, wave, gnorm, ok = train_step(
             params, opt_state, ema, step_key,
             jnp.float32(args.waveform_weight),
@@ -534,6 +553,11 @@ def main():
             )
             if float(snap_sched) < 0.8 * args.switch_clamp:
                 good = (params, opt_state, i)
+                # a NEW healthy snapshot is forward progress: the abort
+                # counter tracks CONSECUTIVE failures from one state
+                # (medium2 aborted on 12 rollbacks accumulated over
+                # 3.3k healthy steps — not persistent divergence)
+                rollbacks = 0
             else:
                 # a switch riding its clamp IS poisoning (r3 run #1's
                 # failure mode) even while the loss still looks finite
@@ -568,7 +592,7 @@ def main():
                 "alive_events": alive,
                 "nan_steps_so_far": nan_steps,
                 "lr_mult": lr_mult,
-                "rollbacks": rollbacks,
+                "rollbacks": total_rollbacks,
                 "regress_rollbacks": regress_rollbacks,
             }
             if args.gain_refit:

@@ -250,15 +250,19 @@ def make_songsplat_report(run_dir: str, out_path: str):
             AudioComponent(target, sr, "Original song (24 s)"),
             AudioComponent(
                 recon, sr,
-                f"Splat reconstruction — {ev.get('covered_snr_db', '?')} dB "
-                "covered-region SNR",
+                f"Splat reconstruction — covered-region LSD "
+                f"{ev.get('covered_lsd_db', '?')} dB (waveform SNR "
+                f"{ev.get('covered_snr_db', '?')} dB: the training loss "
+                "is magnitude-only, so phase — and with it waveform "
+                "SNR — is unpinned by construction)",
             ),
             spec_img(target, "Original spectrogram (log)"),
             spec_img(recon, "Reconstruction spectrogram (log)"),
         ],
         intro_markdown=(
             "# Whole-song event splatting\n"
-            f"{ev.get('iterations', '?')} optimizer steps; "
+            f"{ev.get('trained_steps', ev.get('iterations', '?'))} "
+            "optimizer steps; "
             "190 events over 24 s (compression ratio 0.012); "
             "per-segment OMP gain re-fit at render "
             f"(ridge {ev.get('refit_ridge', 0)})."

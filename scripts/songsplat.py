@@ -261,11 +261,22 @@ def main():
             / (np.sum((t_cov - r_cov) ** 2) + 1e-12)
         )
     )
+    # log-spectral distance over the covered region: the training loss
+    # is magnitude-only (reference songsplat.py:38), so waveform SNR
+    # sits near 0 by construction (unpinned phase) and the spectral
+    # number is the one the optimizer actually moves
+    ts = jnp.abs(spec_transform(jnp.asarray(t_cov).reshape(1, 1, -1)))
+    rs = jnp.abs(spec_transform(jnp.asarray(r_cov).reshape(1, 1, -1)))
+    lsd = float(jnp.sqrt(jnp.mean(
+        (20 * jnp.log10(ts + 1e-8) - 20 * jnp.log10(rs + 1e-8)) ** 2
+    )))
     eval_out = {
         "covered_snr_db": round(snr, 3),
+        "covered_lsd_db": round(lsd, 3),
         "covered_samples": int(covered_hi - covered_lo),
         "total_samples": int(total_samples),
         "iterations": args.iterations,
+        "trained_steps": start_iter - 1 + n_steps if start_iter else n_steps,
         "refit_ridge": args.refit,
         "final_loss": losses[-1] if losses else None,
     }

@@ -27,7 +27,8 @@ apply_platform_from_env()
 import numpy as np
 
 
-def build(checkpoint: str | None, tiny: bool, noise_seed: int = 0):
+def build(checkpoint: str | None, tiny: bool, noise_seed: int = 0,
+          size_overrides: dict | None = None):
     from mptpu.models.inference import SIAMCodec
     from mptpu.models.instrument import PlayableInstrument
     from mptpu.models.siam import SIAMModel
@@ -38,9 +39,41 @@ def build(checkpoint: str | None, tiny: bool, noise_seed: int = 0):
             hidden_channels=32, n_events=4,
             transform_window_size=512, transform_step_size=256,
         )
+    elif size_overrides:
+        # play a scaled-config checkpoint (e.g. the medium overfit runs:
+        # n_samples 2^15, 16 events, hidden 64, context 32) — the model
+        # geometry and attn escape knobs must match training exactly
+        model = SIAMModel(
+            n_samples=size_overrides["n_samples"],
+            context_dim=size_overrides["context_dim"],
+            in_channels=size_overrides["window"] // 2 + 1,
+            hidden_channels=size_overrides["hidden"],
+            n_events=size_overrides["n_events"],
+            transform_window_size=size_overrides["window"],
+            transform_step_size=256,
+            fft_resonance=True,
+            attn_floor=size_overrides.get("attn_floor", 0.0),
+            attn_leak=size_overrides.get("attn_leak", 0.0),
+        )
     else:
         model = SIAMModel()
-    codec = SIAMCodec(model=model, checkpoint_dir=checkpoint, seed=noise_seed)
+    if checkpoint and checkpoint.endswith(".pkl"):
+        # a specific checkpoint FILE (e.g. an overfit run's ema_best.pkl,
+        # which CheckpointManager.latest() deliberately ignores)
+        import jax.numpy as jnp
+
+        from mptpu.train.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(checkpoint)
+        if payload is None:
+            raise SystemExit(f"unreadable checkpoint {checkpoint}")
+        import jax
+
+        params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        codec = SIAMCodec(model=model, params=params, seed=noise_seed)
+    else:
+        codec = SIAMCodec(model=model, checkpoint_dir=checkpoint,
+                          seed=noise_seed)
     return PlayableInstrument(codec)
 
 
@@ -175,13 +208,34 @@ if __name__ == "__main__":
                         help="codec PRNG seed; a --fixed-noise overfit "
                              "checkpoint memorizes PRNGKey(42)'s draws, "
                              "so pass 42 to play its learned sounds")
+    parser.add_argument("--n-samples-log2", type=int, default=0,
+                        help="with --n-events/--hidden/--context-dim: "
+                             "play a scaled-config checkpoint (must "
+                             "match its training geometry)")
+    parser.add_argument("--n-events", type=int, default=0)
+    parser.add_argument("--hidden", type=int, default=0)
+    parser.add_argument("--context-dim", type=int, default=0)
+    parser.add_argument("--attn-floor", type=float, default=0.0)
+    parser.add_argument("--attn-leak", type=float, default=0.0)
     args = parser.parse_args()
     if args.selection_leak or args.selection_floor:
         from mptpu.sparse.quantize import set_selection_leak, set_selection_floor
 
         set_selection_leak(args.selection_leak)
         set_selection_floor(args.selection_floor)
-    inst = build(args.checkpoint, args.tiny, noise_seed=args.noise_seed)
+    size_overrides = None
+    if args.n_samples_log2:
+        size_overrides = {
+            "n_samples": 2 ** args.n_samples_log2,
+            "n_events": args.n_events or 32,
+            "hidden": args.hidden or 128,
+            "context_dim": args.context_dim or 32,
+            "window": 2048,
+            "attn_floor": args.attn_floor,
+            "attn_leak": args.attn_leak,
+        }
+    inst = build(args.checkpoint, args.tiny, noise_seed=args.noise_seed,
+                 size_overrides=size_overrides)
     if args.demo:
         demo_phrase(inst, args.demo, harvest_seed=args.harvest_seed,
                     harvest_wav=args.harvest_wav)

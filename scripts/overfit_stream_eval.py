@@ -48,6 +48,9 @@ def main():
     p.add_argument("--context-dim", type=int, default=32)
     p.add_argument("--audio-events", type=int, default=0,
                    help="match the trainer's synthetic density override")
+    p.add_argument("--stream-windows", type=int, default=1,
+                   help="match the trainer's --stream-windows: rebuild "
+                        "the same longer segment and walk all of it")
     p.add_argument("--gain-refit", type=float, default=0.0,
                    help="also score the walk with OMP per-(window,event) "
                         "amplitude re-projection at this ridge "
@@ -81,19 +84,24 @@ def main():
     )
 
     from mptpu.data.synthetic import synthetic_audio
-    seg = synthetic_audio(n_samples, 22050,
-                          n_events=args.audio_events
-                          or int(n_samples / 22050 * 8),
+    half = n_samples // 2
+    n_win = max(1, args.stream_windows)
+    total_len = n_samples + (n_win - 1) * half
+    base_events = args.audio_events or int(n_samples / 22050 * 8)
+    seg = synthetic_audio(total_len, 22050,
+                          n_events=int(round(
+                              base_events * total_len / n_samples)),
                           seed=args.seed, sustained=True)
-    target = jnp.asarray(seg).reshape(1, 1, n_samples)
-    # training parity (scripts/siam_overfit.py): the trainer fits the
-    # FADED target — score against what the model was actually trained
-    # to reconstruct
-    fade = jnp.ones((1, 1, n_samples)).at[..., n_samples // 2:].set(
-        jnp.linspace(1.0, 0.0, n_samples // 2) ** 8)
+    target = jnp.asarray(seg).reshape(1, 1, total_len)
+    # training parity (scripts/siam_overfit.py): the trainer fades each
+    # window's second half; in the union of the walk's windows only the
+    # FINAL half-window is always faded — score against what the model
+    # was actually trained to reconstruct
+    fade = jnp.ones((1, 1, total_len)).at[..., total_len - half:].set(
+        jnp.linspace(1.0, 0.0, half) ** 8)
     target = target * fade
     # one extra window of silence so the half-overlap walk tiles windows
-    # starting at 0, n/2, n — covering the real segment end to end
+    # past the segment end, covering the real segment end to end
     padded = jnp.pad(target, ((0, 0), (0, 0), (0, n_samples)))
 
     ckpt_path = args.ckpt
@@ -113,7 +121,7 @@ def main():
         # the checkpoint trained with --fixed-noise: every decode must
         # use the same key the decoder memorized
         fixed_noise=True,
-    )[..., :n_samples]
+    )[..., :total_len]
     _ = float(recon_full.sum())  # force transfer (axon under-reports)
     recon_refit = None
     if args.gain_refit:
@@ -124,7 +132,7 @@ def main():
             ),
             refit_ridge=args.gain_refit,
             align_refine=args.align_refine,
-        )[..., :n_samples]
+        )[..., :total_len]
         _ = float(recon_refit.sum())
 
     def snr(t, r):
@@ -138,9 +146,10 @@ def main():
         return float(jnp.sqrt(jnp.mean(
             (20 * jnp.log10(ts + 1e-8) - 20 * jnp.log10(rs + 1e-8)) ** 2)))
 
-    half = n_samples // 2
     out = {
         "ckpt": ckpt_path,
+        "stream_windows": n_win,
+        "total_len": int(total_len),
         "streaming_full_snr_db": round(snr(target, recon_full), 3),
         "streaming_full_lsd_db": round(lsd(target, recon_full), 3),
         "streaming_first_half_snr_db": round(

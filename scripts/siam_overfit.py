@@ -145,6 +145,17 @@ def main():
                         "flips make the loss landscape piecewise — "
                         "averaging over the flip dynamics is the "
                         "standard smoother")
+    p.add_argument("--stream-windows", type=int, default=1,
+                   help="train on N half-overlapped window positions of "
+                        "a longer segment instead of one fixed window. "
+                        "Single-window overfit leaves every other "
+                        "position of the decode-time streaming walk "
+                        "out-of-distribution (the measured 9.98 dB "
+                        "first-half vs 3.08 dB second-half split); with "
+                        "N>1 every window the walk visits is trained. "
+                        "Matches how the reference consumes the codec "
+                        "(iterativedecomposition.py:275-319); 1 = the "
+                        "classic one-window existence proof")
     p.add_argument("--fixed-noise", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--n-samples-log2", type=int, default=0,
@@ -240,12 +251,22 @@ def main():
     # datastore.py:136-140); synthesized because no MusicNet is mounted
     from mptpu.data.synthetic import synthetic_audio
 
+    half = n_samples // 2
+    n_win = max(1, args.stream_windows)
+    total_len = n_samples + (n_win - 1) * half
+    base_events = args.audio_events or int(n_samples / 22050 * 8)
     seg = synthetic_audio(
-        n_samples, 22050,
-        n_events=args.audio_events or int(n_samples / 22050 * 8),
+        total_len, 22050,
+        n_events=int(round(base_events * total_len / n_samples)),
         seed=args.seed, sustained=True,
     )
-    target = jnp.asarray(seg).reshape(1, 1, n_samples)
+    # training windows at the streaming walk's half-overlap offsets
+    # (n_win == 1 reproduces the classic single-window setup exactly)
+    windows_np = np.stack(
+        [seg[w * half : w * half + n_samples] for w in range(n_win)]
+    )
+    targets = jnp.asarray(windows_np).reshape(n_win, 1, 1, n_samples)
+    target = targets[0]
     write_wav(os.path.join(args.out, "target.wav"), seg, 22050)
 
     key = jax.random.PRNGKey(0)
@@ -278,52 +299,56 @@ def main():
     # second-half fade (iterativedecomposition.py:519-524): the encoder's
     # streaming mask hides the second half, so content there would push
     # every event toward silence; SNR is evaluated on the first half
-    fade = jnp.ones((1, 1, n_samples)).at[..., n_samples // 2 :].set(
-        jnp.linspace(1.0, 0.0, n_samples // 2) ** 8
+    fade = jnp.ones((1, 1, n_samples)).at[..., half:].set(
+        jnp.linspace(1.0, 0.0, half) ** 8
     )
-    faded_target = target * fade
-    half = n_samples // 2
-    target_energy_half = jnp.sum(target[..., :half] ** 2)
+    faded_targets = targets * fade
+    faded_target = faded_targets[0]
+    tgt_energy_halves = jnp.sum(targets[..., :half] ** 2, axis=(-1, -2, -3))
+    target_energy_half = tgt_energy_halves[0]
 
     noise_key = jax.random.PRNGKey(42)
 
     from mptpu.models.siam import refit_event_gains
 
-    def refit_recon(channels):
+    def refit_recon(channels, tgt):
         """First-half OMP gain re-fit (clipped in the TRAINER only: the
         mag loss anchors channel scale near the right amplitude, so
         honest gains sit near 1; the clip is insurance against the
         tiny-channel/huge-gain scale degeneracy early in training)."""
         gains = refit_event_gains(
-            target, channels, ridge=args.gain_refit, span=half
+            tgt, channels, ridge=args.gain_refit, span=half
         )
         gains = jnp.clip(gains, -10.0, 10.0)
         return jnp.einsum("be,ben->bn", gains, channels)[:, None]
 
-    def loss_fn(params, key, wave_w):
-        channels, vecs, schedules, _ = iterative(params, faded_target, key)
+    # (refit_recon takes the window's own target when --stream-windows>1)
+
+    def loss_fn(params, key, wave_w, f_tgt, tgt, tgt_e_half):
+        channels, vecs, schedules, _ = iterative(params, f_tgt, key)
         mag = iterative_loss(
-            faded_target,
+            f_tgt,
             channels,
             lambda x: siam_transform(x, window, step_sz, mag_epsilon=1e-6),
         )
         recon = jnp.sum(channels, axis=1, keepdims=True)
         if args.gain_refit:
-            recon = refit_recon(channels)
+            recon = refit_recon(channels, tgt)
         # relative waveform error on the (covered) first half
         wave = jnp.sum(
-            (recon[..., :half] - target[..., :half]) ** 2
-        ) / jnp.maximum(target_energy_half, 1e-12)
+            (recon[..., :half] - tgt[..., :half]) ** 2
+        ) / jnp.maximum(tgt_e_half, 1e-12)
         # wave_w is a TRACED scalar so the weight can change (or ramp)
         # without recompiling the program over the remote relay
         loss = mag + wave_w * wave
         return loss, (recon, wave)
 
     @jax.jit
-    def train_step(params, opt_state, ema, key, wave_w, clip, lr_mult):
+    def train_step(params, opt_state, ema, key, wave_w, clip, lr_mult,
+                   f_tgt, tgt, tgt_e_half):
         (loss, (recon, wave)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, key, wave_w)
+        )(params, key, wave_w, f_tgt, tgt, tgt_e_half)
         gnorm = optax.global_norm(grads)
         # clip and lr_mult are TRACED so divergence recovery can tighten
         # them mid-run without paying a remote recompile
@@ -349,19 +374,19 @@ def main():
         return params_out, opt_out, ema, loss, wave, gnorm, ok
 
     @jax.jit
-    def reconstruct(params, key):
-        channels, _, schedules, _ = iterative(params, faded_target, key)
+    def reconstruct(params, key, f_tgt, tgt):
+        channels, _, schedules, _ = iterative(params, f_tgt, key)
         # per-event first-half energy: the overfit4 plateau was 29/32
         # events rendering EXACTLY zero (diag.json), invisible in every
         # scalar we logged — count alive events at each eval
         ev_energy = jnp.sum(channels[..., :half] ** 2, axis=-1)
         raw = jnp.sum(channels, axis=1, keepdims=True)
-        refit = refit_recon(channels) if args.gain_refit else raw
+        refit = refit_recon(channels, tgt) if args.gain_refit else raw
         if args.align_refine:
             from mptpu.models.siam import refine_event_alignment
 
             refined, _, gains = refine_event_alignment(
-                target,
+                tgt,
                 channels,
                 max_shift=args.align_refine,
                 n_iters=2,
@@ -386,7 +411,8 @@ def main():
             f"eval_regress_db {args.eval_regress_db}, "
             f"gain_refit {args.gain_refit}, "
             f"align_refine {args.align_refine}, ema {args.ema}, "
-            f"audio_events {args.audio_events or 'default(8/sec)'}"
+            f"audio_events {args.audio_events or 'default(8/sec)'}, "
+            f"stream_windows {n_win}"
         ),
         "eval": [],
         "losses": [],
@@ -469,11 +495,13 @@ def main():
             if args.fixed_noise and i >= perturb_until
             else jax.random.fold_in(key, i)
         )
+        w = i % n_win
         params, opt_state, ema, loss, wave, gnorm, ok = train_step(
             params, opt_state, ema, step_key,
             jnp.float32(args.waveform_weight),
             jnp.float32(args.grad_clip),
             jnp.float32(lr_mult),
+            faded_targets[w], targets[w], tgt_energy_halves[w],
         )
         # every-step health check, pipelined: float() the PREVIOUS step's
         # scalars while this step runs on device — a synchronous per-step
@@ -549,7 +577,9 @@ def main():
             # switches clearly away from the clamp (an extra forward,
             # ~1% overhead at this cadence)
             _, _, _, snap_sched, _ = reconstruct(
-                params, noise_key if args.fixed_noise else jax.random.PRNGKey(7)
+                params,
+                noise_key if args.fixed_noise else jax.random.PRNGKey(7),
+                faded_target, target,
             )
             if float(snap_sched) < 0.8 * args.switch_clamp:
                 good = (params, opt_state, i)
@@ -575,7 +605,7 @@ def main():
         if i % args.eval_every == 0:
             eval_key = noise_key if args.fixed_noise else jax.random.PRNGKey(7)
             raw_recon, recon, aligned_recon, sched_max, ev_energy = (
-                reconstruct(params, eval_key)
+                reconstruct(params, eval_key, faded_target, target)
             )
             tgt_e = float(target_energy_half)
             alive = int(np.sum(np.asarray(ev_energy) > 1e-6 * tgt_e))
@@ -604,12 +634,26 @@ def main():
                     float(snr_db(target[..., :half], raw_recon[..., :half])),
                     3,
                 )
+            if n_win > 1:
+                # per-window first-half SNR: every position the decode
+                # walk visits, scored on ITS window's covered half
+                wsnrs = [round(s_half, 3)]
+                for wi in range(1, n_win):
+                    _, w_recon, _, _, _ = reconstruct(
+                        params, eval_key, faded_targets[wi], targets[wi]
+                    )
+                    wsnrs.append(round(float(snr_db(
+                        targets[wi][..., :half], w_recon[..., :half]
+                    )), 3))
+                entry["window_snr_db"] = wsnrs
             if args.ema:
                 # best_snr stays TRAINING-params-only (it drives the
                 # eval-regress rollback; letting the usually-higher EMA
                 # number into it would rollback healthy training) — the
                 # averaged params compete only for the artifact below
-                _, e_recon, _, _, _ = reconstruct(ema, eval_key)
+                _, e_recon, _, _, _ = reconstruct(
+                    ema, eval_key, faded_target, target
+                )
                 e_half = float(
                     snr_db(target[..., :half], e_recon[..., :half])
                 )

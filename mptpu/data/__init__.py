@@ -14,7 +14,7 @@ from .audioiter import (
     get_one_audio_segment,
     get_one_audio_batch,
 )
-from .synthetic import synthetic_audio, ensure_demo_dataset
+from .synthetic import synthetic_audio, ensure_demo_dataset, streaming_windows
 from .kv import KVCollection, cache
 from .fetch import get_audio_segment, default_transport
 from .native import NativeAudioLoader, native_available, build_native
@@ -30,6 +30,7 @@ __all__ = [
     "get_one_audio_segment",
     "get_one_audio_batch",
     "synthetic_audio",
+    "streaming_windows",
     "ensure_demo_dataset",
     "KVCollection",
     "cache",

@@ -118,3 +118,26 @@ def ensure_demo_dataset(
                 samplerate,
             )
     return directory
+
+
+def streaming_windows(
+    seg: np.ndarray, n_samples: int, n_win: int
+) -> np.ndarray:
+    """Stack the half-overlap window positions a streaming-walk decode
+    visits over ``seg`` (reference ``iterativedecomposition.py:275-319``
+    walks hop = n_samples/2): ``(n_win, n_samples)`` with window ``w``
+    starting at ``w * n_samples // 2``. ``seg`` must be at least
+    ``n_samples + (n_win - 1) * n_samples // 2`` long (the multi-window
+    overfit trainer synthesizes exactly that length). Used by
+    ``scripts/siam_overfit.py --stream-windows`` so every position the
+    decode walk visits is in-distribution at train time."""
+    half = n_samples // 2
+    needed = n_samples + (n_win - 1) * half
+    if seg.shape[-1] < needed:
+        raise ValueError(
+            f"segment of {seg.shape[-1]} samples too short for {n_win} "
+            f"half-overlap windows of {n_samples} (need {needed})"
+        )
+    return np.stack(
+        [seg[w * half : w * half + n_samples] for w in range(n_win)]
+    )

@@ -262,10 +262,11 @@ def main():
     )
     # training windows at the streaming walk's half-overlap offsets
     # (n_win == 1 reproduces the classic single-window setup exactly)
-    windows_np = np.stack(
-        [seg[w * half : w * half + n_samples] for w in range(n_win)]
-    )
-    targets = jnp.asarray(windows_np).reshape(n_win, 1, 1, n_samples)
+    from mptpu.data import streaming_windows
+
+    targets = jnp.asarray(
+        streaming_windows(seg, n_samples, n_win)
+    ).reshape(n_win, 1, 1, n_samples)
     target = targets[0]
     write_wav(os.path.join(args.out, "target.wav"), seg, 22050)
 

@@ -230,3 +230,42 @@ class TestCodecRefinement:
         assert float(np.sum((tgt - refit) ** 2)) <= float(
             np.sum((tgt - plain) ** 2)
         ) * (1 + 1e-4)
+
+
+class TestStreamingWindows:
+    """Multi-window overfit target construction
+    (scripts/siam_overfit.py --stream-windows; reference walk
+    ``iterativedecomposition.py:275-319``)."""
+
+    def test_half_overlap_positions(self):
+        import numpy as np
+
+        from mptpu.data import streaming_windows
+
+        n = 64
+        seg = np.arange(n + 2 * (n // 2), dtype=np.float32)
+        w = streaming_windows(seg, n, 3)
+        assert w.shape == (3, n)
+        for i in range(3):
+            assert w[i, 0] == i * (n // 2)
+        # half-overlap: each window's second half IS the next's first
+        assert np.array_equal(w[0, n // 2 :], w[1, : n // 2])
+        assert np.array_equal(w[1, n // 2 :], w[2, : n // 2])
+
+    def test_single_window_is_identity(self):
+        import numpy as np
+
+        from mptpu.data import streaming_windows
+
+        seg = np.random.default_rng(0).normal(size=128).astype(np.float32)
+        w = streaming_windows(seg, 128, 1)
+        assert np.array_equal(w[0], seg)
+
+    def test_too_short_raises(self):
+        import numpy as np
+        import pytest
+
+        from mptpu.data import streaming_windows
+
+        with pytest.raises(ValueError):
+            streaming_windows(np.zeros(100, np.float32), 64, 3)

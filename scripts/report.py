@@ -102,6 +102,7 @@ class _OverfitTableComponent:
         m = self.metrics
         evals = m.get("eval", [])
         has_aligned = any("aligned_first_half_snr_db" in e for e in evals)
+        has_windows = any("window_snr_db" in e for e in evals)
         # thin long runs to ~40 rows
         step = max(1, len(evals) // 40)
         def aligned_cell(e):
@@ -110,9 +111,18 @@ class _OverfitTableComponent:
             v = e.get("aligned_first_half_snr_db")
             return f"<td>{v:.2f}</td>" if v is not None else "<td>—</td>"
 
+        def windows_cell(e):
+            if not has_windows:
+                return ""
+            v = e.get("window_snr_db")
+            if v is None:
+                return "<td>—</td>"
+            return "<td>" + " / ".join(f"{x:.1f}" for x in v) + "</td>"
+
         rows = "".join(
             f"<tr><td>{e['step']}</td><td>{e['first_half_snr_db']:.2f}</td>"
             + aligned_cell(e)
+            + windows_cell(e)
             + f"<td>{e['full_snr_db']:.2f}</td><td>{e['sched_max']:.2f}</td>"
             f"<td>{e.get('alive_events', '—')}</td>"
             f"<td>{e['rollbacks']}</td></tr>"
@@ -123,6 +133,9 @@ class _OverfitTableComponent:
         best_aligned = m.get("best_aligned_first_half_snr_db")
         head_aligned = (
             "<th>aligned SNR (dB)</th>" if has_aligned else ""
+        )
+        head_windows = (
+            "<th>per-window SNR (dB)</th>" if has_windows else ""
         )
         aligned_line = (
             f"<p><b>best aligned (shift+gain refined) first-half SNR: "
@@ -135,7 +148,7 @@ class _OverfitTableComponent:
             f"<p>{html_escape(m.get('config', ''))}</p>"
             f"<p><b>best first-half SNR: {best:.2f} dB</b></p>{aligned_line}"
             "<table border=1 cellpadding=4><tr><th>step</th>"
-            f"<th>first-half SNR (dB)</th>{head_aligned}"
+            f"<th>first-half SNR (dB)</th>{head_aligned}{head_windows}"
             "<th>full SNR (dB)</th>"
             "<th>sched_max</th><th>alive events</th><th>rollbacks</th></tr>"
             f"{rows}</table></div>"

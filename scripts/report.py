@@ -209,17 +209,36 @@ def make_overfit_report(run_dir: str, out_path: str):
             f"re-projection){note}",
         ))
     stream_wav = os.path.join(run_dir, "recon_streaming.wav")
+    stream_refit_wav = os.path.join(run_dir, "recon_streaming_refit.wav")
     stream_json = os.path.join(run_dir, "stream_eval.json")
-    if os.path.exists(stream_wav) and os.path.exists(stream_json):
+    if os.path.exists(stream_json) and (
+        os.path.exists(stream_refit_wav) or os.path.exists(stream_wav)
+    ):
         with open(stream_json) as f:
             se = _json.load(f)
-        streamed, _ = read_wav(stream_wav)
-        components.insert(2, AudioComponent(
-            streamed, sr,
-            "Streaming-walk reconstruction (full-segment coverage): "
-            f"{se.get('streaming_full_snr_db', '?')} dB full-segment SNR, "
-            f"{se.get('streaming_first_half_snr_db', '?')} dB first half",
-        ))
+        if os.path.exists(stream_refit_wav) and "refit_full_snr_db" in se:
+            # a --gain-refit-trained checkpoint optimizes the waveform
+            # THROUGH the re-fit, so the refit walk is its real decode;
+            # the raw walk's near-0 SNR only reflects unit-gain scales
+            streamed, _ = read_wav(stream_refit_wav)
+            caption = (
+                "Streaming-walk reconstruction (full-segment coverage, "
+                "per-(window,event) OMP gain re-fit — the codec's decode "
+                f"path for refit-trained checkpoints): "
+                f"{se.get('refit_full_snr_db', '?')} dB full-segment SNR, "
+                f"{se.get('refit_first_half_snr_db', '?')} dB first half "
+                f"(raw unit-gain walk: "
+                f"{se.get('streaming_full_snr_db', '?')} dB)"
+            )
+        else:
+            streamed, _ = read_wav(stream_wav)
+            caption = (
+                "Streaming-walk reconstruction (full-segment coverage): "
+                f"{se.get('streaming_full_snr_db', '?')} dB full-segment "
+                f"SNR, {se.get('streaming_first_half_snr_db', '?')} dB "
+                "first half"
+            )
+        components.insert(2, AudioComponent(streamed, sr, caption))
     conjure_article(
         out_path,
         "SIAM overfit existence proof",

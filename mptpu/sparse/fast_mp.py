@@ -64,7 +64,8 @@ def dictionary_gram(d: jax.Array) -> jax.Array:
 @partial(
     jax.jit,
     static_argnames=(
-        "n_steps", "block", "block_argmax", "use_pallas", "fused", "pipelined"
+        "n_steps", "block", "block_argmax", "use_pallas", "fused",
+        "pipelined", "gate_tail",
     ),
 )
 def sparse_code_fast(
@@ -76,6 +77,7 @@ def sparse_code_fast(
     use_pallas: bool = False,
     fused: bool = False,
     pipelined: bool = True,
+    gate_tail: bool = True,
 ) -> SparseCodeResult:
     """Drop-in fast path for ``sparse_code`` (1-channel dictionaries).
 
@@ -184,6 +186,7 @@ def sparse_code_fast(
                 n_blocks=n_blocks,
                 upd_blocks=upd_blocks,
                 tail_start=tail_start,
+                gate_tail=gate_tail,
                 interpret=interpret,
             )
             return (residual, fm, bm), (atom, pos, val)

@@ -96,6 +96,7 @@ def _step_kernel(
     n_blocks: int,
     upd_blocks: int,
     tail_start: int,
+    gate_tail: bool,
     interpret: bool,
 ):
     b = pl.program_id(0)
@@ -159,26 +160,35 @@ def _step_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     res_scr[:, :] = jnp.where(lane < n_samples, restored, 0.0)
 
-    # ---- 4) boundary-tail recompute from the updated residual:
+    # ---- 4) boundary-tail recompute from the updated residual —
+    # needed ONLY when the event actually clipped (the zeroing above
+    # changed lanes >= n_samples, i.e. position > n_samples - A; the map
+    # has no negative positions — the left pad is argmax-poisoned). For
+    # interior events the gram-slice subtract is EXACT at every map
+    # position including the tail, so the Hankel ladder + MXU matmul +
+    # tail write-back (~half the per-step compute) are skipped.
     # Hankel H[p, j] = t[p + j] built with a log2 roll ladder, then one
     # MXU matmul tail[a, p] = sum_k d2[a, k] * t[p + k]
-    t = res_scr[:, n_samples - A :]  # (1, 2A), zeros past n included
-    hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
-    shift = 1
-    while shift < A:
-        rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
-        hank_scr[:, :] = jnp.where(
-            (row_ids & shift) != 0, rolled, hank_scr[:, :]
-        )
-        shift *= 2
-    tail_scr[:, :] = jax.lax.dot_general(
-        d2_ref[:, :],
-        hank_scr[:, :A],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (N, A) [atoms x tail positions]
-    tail_fm = tail_scr[:, :]
+    clipped = (position > n_samples - A) if gate_tail else (position < 2**30)
+
+    @pl.when(clipped)
+    def _():
+        t = res_scr[:, n_samples - A :]  # (1, 2A), zeros past n included
+        hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
+        shift = 1
+        while shift < A:
+            rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
+            hank_scr[:, :] = jnp.where(
+                (row_ids & shift) != 0, rolled, hank_scr[:, :]
+            )
+            shift *= 2
+        tail_scr[:, :] = jax.lax.dot_general(
+            d2_ref[:, :],
+            hank_scr[:, :A],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, A) [atoms x tail positions]
 
     res_out_dma = pltpu.make_async_copy(res_scr, res_out.at[b], sems.at[1])
     res_out_dma.start()
@@ -200,9 +210,9 @@ def _step_kernel(
     for k in range(upd_blocks):
         for j in range(tail_nblk):
 
-            @pl.when(ws_blk + k == tail_blk + j)
+            @pl.when(clipped & (ws_blk + k == tail_blk + j))
             def _(k=k, j=j):
-                win_scr[:, k * block : (k + 1) * block] = tail_fm[
+                win_scr[:, k * block : (k + 1) * block] = tail_scr[
                     :, j * block : (j + 1) * block
                 ]
 
@@ -213,16 +223,20 @@ def _step_kernel(
     )
     win_out_dma.start()
     win_out_dma.wait()
-    tail_out_dma = pltpu.make_async_copy(
-        tail_scr, fm_out.at[b, :, pl.ds(tail_start, A)], sems.at[0]
-    )
-    tail_out_dma.start()
+
+    @pl.when(clipped)
+    def _():
+        tail_out_dma = pltpu.make_async_copy(
+            tail_scr, fm_out.at[b, :, pl.ds(tail_start, A)], sems.at[0]
+        )
+        tail_out_dma.start()
+        tail_out_dma.wait()
 
     # ---- 7) block-max maintenance: full-row masked writes (the table's
     # lane count is not 128-aligned, so dynamic placement goes through a
     # one-hot matmul instead of a rotate). Window maxima land at
-    # [ws_blk, ws_blk+upd_blocks); the (static) tail blocks then take the
-    # exact tail maxima via plain concatenation.
+    # [ws_blk, ws_blk+upd_blocks); on clipped steps the (static) tail
+    # blocks then take the exact tail maxima via plain concatenation.
     wmax = jnp.max(win_scr[:, :].reshape(N, upd_blocks, block), axis=-1)
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, n_blocks), 1)
     row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, n_blocks), 0)
@@ -235,22 +249,23 @@ def _step_kernel(
     )  # (N, n_blocks): wmax[k] at lane ws_blk + k, zeros elsewhere
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, n_blocks), 1)
     in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
-    new_bm = jnp.where(in_win, wplaced, bm_ref[0])
+    bm_out[0] = jnp.where(in_win, wplaced, bm_ref[0])
 
-    tmax = jnp.max(tail_fm.reshape(N, tail_nblk, block), axis=-1)
-    tplaced = jnp.concatenate(
-        [
-            jnp.zeros((N, tail_blk), jnp.float32),
-            tmax,
-            jnp.zeros((N, n_blocks - tail_blk - tail_nblk), jnp.float32),
-        ],
-        axis=1,
-    )
-    in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
-    bm_out[0] = jnp.where(in_tail, tplaced, new_bm)
+    @pl.when(clipped)
+    def _():
+        tmax = jnp.max(tail_scr[:, :].reshape(N, tail_nblk, block), axis=-1)
+        tplaced = jnp.concatenate(
+            [
+                jnp.zeros((N, tail_blk), jnp.float32),
+                tmax,
+                jnp.zeros((N, n_blocks - tail_blk - tail_nblk), jnp.float32),
+            ],
+            axis=1,
+        )
+        in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
+        bm_out[0] = jnp.where(in_tail, tplaced, bm_out[0])
 
     res_out_dma.wait()
-    tail_out_dma.wait()
 
     atom_out[b, 0] = atom
     pos_out[b, 0] = position
@@ -267,6 +282,7 @@ def _step_kernel(
         "n_blocks",
         "upd_blocks",
         "tail_start",
+        "gate_tail",
         "interpret",
     ),
 )
@@ -284,6 +300,7 @@ def pallas_fused_step(
     n_blocks: int,
     upd_blocks: int,
     tail_start: int,
+    gate_tail: bool = True,
     interpret: bool = False,
 ):
     """One fused greedy step for every batch item. Returns
@@ -324,6 +341,7 @@ def pallas_fused_step(
         n_blocks=n_blocks,
         upd_blocks=upd_blocks,
         tail_start=tail_start,
+        gate_tail=gate_tail,
         interpret=interpret,
     )
 
@@ -383,7 +401,7 @@ def _pipelined_step_kernel(
     win_scr,     # (2, N, upd_w) VMEM
     hank_scr,    # (A, 2A) VMEM (compute-only)
     tail_scr,    # (2, N, A) VMEM
-    pend_i,      # (2, 4) SMEM int32: atom, position, ws_blk, item
+    pend_i,      # (2, 5) SMEM int32: atom, position, ws_blk, item, clipped
     pend_f,      # (2, 1) SMEM f32: value
     sems,        # DMA semaphores (2, 9):
                  #  0 bm_in, 1 refine, 2 gram, 3 res_in, 4 win_in,
@@ -397,6 +415,7 @@ def _pipelined_step_kernel(
     upd_blocks: int,
     tail_start: int,
     n_items: int,
+    gate_tail: bool,
     interpret: bool,
 ):
     """Cross-item software-pipelined variant of ``_step_kernel``.
@@ -435,7 +454,13 @@ def _pipelined_step_kernel(
         def _():
             pltpu.make_async_copy(res_scr.at[s], res_out.at[0], sems.at[s, 5]).wait()
             pltpu.make_async_copy(win_scr.at[s], fm_out.at[0, :, : upd_w], sems.at[s, 6]).wait()
-            pltpu.make_async_copy(tail_scr.at[s], fm_out.at[0, :, :A], sems.at[s, 7]).wait()
+
+            # item-2's tail write-back only exists if that item clipped
+            # (pend_i[s, 4] still holds ITS flag — overwritten below)
+            @pl.when(pend_i[s, 4] == 1)
+            def _():
+                pltpu.make_async_copy(tail_scr.at[s], fm_out.at[0, :, :A], sems.at[s, 7]).wait()
+
             pltpu.make_async_copy(bm_scr.at[s], bm_out.at[0], sems.at[s, 8]).wait()
 
         bm_dma = pltpu.make_async_copy(
@@ -469,6 +494,9 @@ def _pipelined_step_kernel(
         pend_i[s, 1] = position
         pend_i[s, 2] = ws_blk
         pend_i[s, 3] = item
+        pend_i[s, 4] = jnp.where(
+            (position > n_samples - A) if gate_tail else True, 1, 0
+        ).astype(jnp.int32)
         pend_f[s, 0] = value
 
         pltpu.make_async_copy(
@@ -506,24 +534,30 @@ def _pipelined_step_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     res_scr[slot] = jnp.where(lane < n_samples, restored, 0.0)
 
-    # boundary-tail recompute (Hankel roll ladder + MXU matmul)
-    t = res_scr[slot, :, n_samples - A :]
-    hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
-    shift = 1
-    while shift < A:
-        rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
-        hank_scr[:, :] = jnp.where(
-            (row_ids & shift) != 0, rolled, hank_scr[:, :]
+    # boundary-tail recompute (Hankel roll ladder + MXU matmul) — only
+    # when this item's event actually clipped the signal end (see
+    # _step_kernel: for interior events the gram subtract is exact
+    # everywhere, tail included)
+    clipped = pend_i[slot, 4] == 1
+
+    @pl.when(clipped)
+    def _():
+        t = res_scr[slot, :, n_samples - A :]
+        hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
+        shift = 1
+        while shift < A:
+            rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
+            hank_scr[:, :] = jnp.where(
+                (row_ids & shift) != 0, rolled, hank_scr[:, :]
+            )
+            shift *= 2
+        tail_scr[slot] = jax.lax.dot_general(
+            d2_ref[:, :],
+            hank_scr[:, :A],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        shift *= 2
-    tail_scr[slot] = jax.lax.dot_general(
-        d2_ref[:, :],
-        hank_scr[:, :A],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    tail_fm = tail_scr[slot]
 
     pltpu.make_async_copy(res_scr.at[slot], res_out.at[g], sems.at[slot, 5]).start()
 
@@ -541,10 +575,10 @@ def _pipelined_step_kernel(
     for k in range(upd_blocks):
         for j in range(tail_nblk):
 
-            @pl.when(ws_blk + k == tail_blk + j)
+            @pl.when(clipped & (ws_blk + k == tail_blk + j))
             def _(k=k, j=j):
-                win_scr[slot, :, k * block : (k + 1) * block] = tail_fm[
-                    :, j * block : (j + 1) * block
+                win_scr[slot, :, k * block : (k + 1) * block] = tail_scr[
+                    slot, :, j * block : (j + 1) * block
                 ]
 
     # write-backs: where window and tail overlap the spliced window blocks
@@ -552,9 +586,12 @@ def _pipelined_step_kernel(
     pltpu.make_async_copy(
         win_scr.at[slot], fm_out.at[g, :, pl.ds(ws, upd_w)], sems.at[slot, 6]
     ).start()
-    pltpu.make_async_copy(
-        tail_scr.at[slot], fm_out.at[g, :, pl.ds(tail_start, A)], sems.at[slot, 7]
-    ).start()
+
+    @pl.when(clipped)
+    def _():
+        pltpu.make_async_copy(
+            tail_scr.at[slot], fm_out.at[g, :, pl.ds(tail_start, A)], sems.at[slot, 7]
+        ).start()
 
     # block-max maintenance into bm_scr[slot], then write the row back
     wmax = jnp.max(win_scr[slot].reshape(N, upd_blocks, block), axis=-1)
@@ -569,19 +606,22 @@ def _pipelined_step_kernel(
     )
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
     in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
-    new_bm = jnp.where(in_win, wplaced, bm_scr[slot])
+    bm_scr[slot] = jnp.where(in_win, wplaced, bm_scr[slot])
 
-    tmax = jnp.max(tail_fm.reshape(N, tail_nblk, block), axis=-1)
-    tplaced = jnp.concatenate(
-        [
-            jnp.zeros((N, tail_blk), jnp.float32),
-            tmax,
-            jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
-        ],
-        axis=1,
-    )
-    in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
-    bm_scr[slot] = jnp.where(in_tail, tplaced, new_bm)
+    @pl.when(clipped)
+    def _():
+        tmax = jnp.max(tail_scr[slot].reshape(N, tail_nblk, block), axis=-1)
+        tplaced = jnp.concatenate(
+            [
+                jnp.zeros((N, tail_blk), jnp.float32),
+                tmax,
+                jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
+            ],
+            axis=1,
+        )
+        in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
+        bm_scr[slot] = jnp.where(in_tail, tplaced, bm_scr[slot])
+
     pltpu.make_async_copy(bm_scr.at[slot], bm_out.at[g], sems.at[slot, 8]).start()
 
     atom_out[g, 0] = atom
@@ -593,19 +633,28 @@ def _pipelined_step_kernel(
     def _():
         prefetch(g + 1, nslot)
 
-    # ---- epilogue: drain the final write-backs
+    # ---- epilogue: drain the final write-backs (tail DMAs exist only
+    # for clipped items — pend_i[s, 4] tracks which slots started one)
     @pl.when(g == n_items - 1)
     def _():
         pltpu.make_async_copy(res_scr.at[slot], res_out.at[0], sems.at[slot, 5]).wait()
         pltpu.make_async_copy(win_scr.at[slot], fm_out.at[0, :, : upd_w], sems.at[slot, 6]).wait()
-        pltpu.make_async_copy(tail_scr.at[slot], fm_out.at[0, :, :A], sems.at[slot, 7]).wait()
+
+        @pl.when(pend_i[slot, 4] == 1)
+        def _():
+            pltpu.make_async_copy(tail_scr.at[slot], fm_out.at[0, :, :A], sems.at[slot, 7]).wait()
+
         pltpu.make_async_copy(bm_scr.at[slot], bm_out.at[0], sems.at[slot, 8]).wait()
         if n_items >= 2:
             # item n_items-2's write-backs were never drained by a
             # prefetch (there is no item n_items)
             pltpu.make_async_copy(res_scr.at[nslot], res_out.at[0], sems.at[nslot, 5]).wait()
             pltpu.make_async_copy(win_scr.at[nslot], fm_out.at[0, :, : upd_w], sems.at[nslot, 6]).wait()
-            pltpu.make_async_copy(tail_scr.at[nslot], fm_out.at[0, :, :A], sems.at[nslot, 7]).wait()
+
+            @pl.when(pend_i[nslot, 4] == 1)
+            def _():
+                pltpu.make_async_copy(tail_scr.at[nslot], fm_out.at[0, :, :A], sems.at[nslot, 7]).wait()
+
             pltpu.make_async_copy(bm_scr.at[nslot], bm_out.at[0], sems.at[nslot, 8]).wait()
 
 
@@ -619,6 +668,7 @@ def _pipelined_step_kernel(
         "n_blocks",
         "upd_blocks",
         "tail_start",
+        "gate_tail",
         "interpret",
     ),
 )
@@ -636,6 +686,7 @@ def pallas_fused_step_pipelined(
     n_blocks: int,
     upd_blocks: int,
     tail_start: int,
+    gate_tail: bool = True,
     interpret: bool = False,
 ):
     """Cross-item-pipelined fused greedy step (see ``_pipelined_step_kernel``).
@@ -676,6 +727,7 @@ def pallas_fused_step_pipelined(
         upd_blocks=upd_blocks,
         tail_start=tail_start,
         n_items=B,
+        gate_tail=gate_tail,
         interpret=interpret,
     )
 
@@ -700,7 +752,7 @@ def pallas_fused_step_pipelined(
             pltpu.VMEM((2, N, upd_w), jnp.float32),
             pltpu.VMEM((A, 2 * A), jnp.float32),
             pltpu.VMEM((2, N, A), jnp.float32),
-            pltpu.SMEM((2, 4), jnp.int32),
+            pltpu.SMEM((2, 5), jnp.int32),
             pltpu.SMEM((2, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 9)),
         ],

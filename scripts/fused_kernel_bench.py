@@ -34,10 +34,16 @@ sig = jnp.asarray(
 )
 
 results = {}
-for name, pipelined in (("original", False), ("pipelined", True)):
+VARIANTS = (
+    ("original", False, False),
+    ("pipelined", True, False),
+    ("gated", False, True),
+    ("gated-pipelined", True, True),
+)
+for name, pipelined, gate in VARIANTS:
     coder = jax.jit(
-        lambda s, dd, p=pipelined: sparse_code_fast(
-            s, dd, n_steps=n_steps, fused=True, pipelined=p
+        lambda s, dd, p=pipelined, g=gate: sparse_code_fast(
+            s, dd, n_steps=n_steps, fused=True, pipelined=p, gate_tail=g
         )
     )
     t0 = time.perf_counter()
@@ -58,13 +64,15 @@ for name, pipelined in (("original", False), ("pipelined", True)):
         flush=True,
     )
 
-a, b = results["original"], results["pipelined"]
-same = (
-    np.array_equal(np.asarray(a.atom_indices), np.asarray(b.atom_indices))
-    and np.array_equal(np.asarray(a.positions), np.asarray(b.positions))
-    and np.allclose(np.asarray(a.values), np.asarray(b.values), rtol=1e-5)
-    and np.allclose(
-        np.asarray(a.residual), np.asarray(b.residual), rtol=1e-4, atol=1e-5
+a = results["original"]
+for name, _, _ in VARIANTS[1:]:
+    b = results[name]
+    same = (
+        np.array_equal(np.asarray(a.atom_indices), np.asarray(b.atom_indices))
+        and np.array_equal(np.asarray(a.positions), np.asarray(b.positions))
+        and np.allclose(np.asarray(a.values), np.asarray(b.values), rtol=1e-5)
+        and np.allclose(
+            np.asarray(a.residual), np.asarray(b.residual), rtol=1e-4, atol=1e-5
+        )
     )
-)
-print("on-device parity:", same, flush=True)
+    print(f"on-device parity original vs {name}: {same}", flush=True)

@@ -88,6 +88,25 @@ def main():
                         help="straight-through leaky backward slope for the "
                              "attention relu (forward stays exact reference "
                              "relu); escapes the silence local optimum")
+    parser.add_argument("--waveform-weight", type=float, default=0.0,
+                        help="add W * relative waveform error on the first "
+                             "half (the encoder-covered span) to the "
+                             "spectral loss — the round-3 overfit campaign "
+                             "showed the spectral loss alone never produces "
+                             "positive waveform SNR (phase is unconstrained)")
+    parser.add_argument("--selection-leak", type=float, default=0.0,
+                        help="leaky-relu slope for decoder relu selections "
+                             "(0 = exact reference)")
+    parser.add_argument("--selection-floor", type=float, default=0.0,
+                        help="additive floor on relu selection weights — the "
+                             "round-3 fix for the greedy dead-event trap "
+                             "(29/32 events permanently silent); 0 = exact "
+                             "reference")
+    parser.add_argument("--switch-bias-init", type=float, default=0.0,
+                        help="initial bias of the event-switch head (positive "
+                             "values start events audible instead of at the "
+                             "silence saddle; 0 = exact reference)")
+    parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--out", type=str, default="trained_weights/siam_quality")
     parser.add_argument("--watchdog-s", type=int, default=14000)
     parser.add_argument("--stall-s", type=int, default=900,
@@ -107,6 +126,16 @@ def main():
 
     faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
     os.makedirs(args.out, exist_ok=True)
+
+    if args.selection_leak or args.selection_floor:
+        # global knobs read at trace time — set before any jit below
+        from mptpu.sparse.quantize import (
+            set_selection_floor,
+            set_selection_leak,
+        )
+
+        set_selection_leak(args.selection_leak)
+        set_selection_floor(args.selection_floor)
 
     if args.tiny:
         n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
@@ -129,6 +158,7 @@ def main():
         switch_clamp=args.switch_clamp,
         residual_clamp_scale=args.residual_clamp,
         encoder_clamp=args.encoder_clamp,
+        switch_bias_init=args.switch_bias_init,
     )
 
     audio_path = None
@@ -180,7 +210,7 @@ def main():
     init_s = time.perf_counter() - t0
     print(f"init {init_s:.1f}s", flush=True)
 
-    opt = optimizer(lr=1e-4, b1=0.9, b2=0.999)
+    opt = optimizer(lr=args.lr, b1=0.9, b2=0.999)
     opt_state = opt.init(params)
     ckpt = CheckpointManager(args.out, every=250)
     resume_step = 0
@@ -206,6 +236,9 @@ def main():
             jnp.linspace(1.0, 0.0, n_samples // 2) ** 8
         )
 
+    half = n_samples // 2
+    wave_w = float(args.waveform_weight)
+
     def loss_fn(params, target, key):
         channels, vecs, schedules, _ = iterative(params, target, key)
         # NOTE mag_epsilon smooths |z| but its gradient at exactly-silent
@@ -217,6 +250,17 @@ def main():
             channels,
             lambda x: siam_transform(x, window, step_sz, mag_epsilon=1e-6),
         )
+        if wave_w:
+            # relative waveform error on the first half — the span the
+            # encoder's streaming mask actually covers. The spectral loss
+            # alone leaves phase unconstrained, so waveform SNR never goes
+            # positive without this term (round-3 overfit campaign,
+            # BENCHMARKS.md)
+            recon = jnp.sum(channels, axis=1, keepdims=True)
+            wave = jnp.sum(
+                (recon[..., :half] - target[..., :half]) ** 2
+            ) / jnp.maximum(jnp.sum(target[..., :half] ** 2), 1e-12)
+            loss = loss + wave_w * wave
         return loss, channels
 
     @jax.jit
@@ -277,6 +321,11 @@ def main():
             f"attn_leak {args.attn_leak:.3f}, "
             f"switch_clamp {args.switch_clamp:g}, "
             f"residual_clamp {args.residual_clamp:g}, "
+            f"waveform_weight {args.waveform_weight:g}, "
+            f"selection_leak {args.selection_leak:g}, "
+            f"selection_floor {args.selection_floor:g}, "
+            f"switch_bias_init {args.switch_bias_init:g}, "
+            f"lr {args.lr:g}, "
             f"corpus {'dense' if args.dense else 'sparse'}, "
             f"fade {'off' if args.no_fade else 'on'}, "
             f"holdout {'disjoint-content' if holdout_path else 'same-corpus crop'}"

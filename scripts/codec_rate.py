@@ -1,0 +1,223 @@
+"""Rate/distortion of the SIAM codec's WIRE format on a trained overfit
+checkpoint: quantize each event tuple to what would actually be
+transmitted, decode from the dequantized tuples alone (open-loop, same
+per-event noise keys), and report kbps + SNR next to the float encode.
+
+The reference's product claim is a sparse *event-tuple* codec
+(``v3blogpost.py:59-93``: 32 events explain a ~6 s segment); this script
+puts a number on the implied bitrate. Wire layout per event:
+
+  preset f16:  context vec (C x f16) | frame idx u16 | amp f16
+  preset int8: context vec (C x i8 + 1 f16 scale) | frame idx u16 | amp f16
+  (+ shift i16 | gain f16 when --refine — the encode-time MP alignment
+   corrections, mptpu/models/siam.py:refine_event_alignment)
+
+Decode reproduces training noise exactly: event i renders with
+``fold_in(PRNGKey(42), i)`` (the --fixed-noise training convention,
+scripts/siam_overfit.py:311).
+
+Run in the background to completion (never under ``timeout``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import faulthandler
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mptpu.utils.platform import apply_platform_from_env
+apply_platform_from_env()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mptpu.models.siam import (
+    SIAMModel,
+    make_iterative_fn,
+    refine_event_alignment,
+)
+from mptpu.train.checkpoint import load_checkpoint
+from mptpu.utils.wav import write_wav
+
+SAMPLE_RATE = 22050
+NOISE_KEY = jax.random.PRNGKey(42)
+
+
+def quantize_events(vecs, schedules, preset):
+    """(vecs, schedules) -> (dequantized vecs, dequantized schedules,
+    wire bytes per event). Schedules go on the wire as (argmax frame,
+    peak amplitude); decode places a hard impulse there."""
+    b, e, c = vecs.shape
+    n_frames = schedules.shape[-1]
+    idx = jnp.argmax(schedules, axis=-1)                       # (b, e)
+    amp = jnp.take_along_axis(schedules, idx[..., None], axis=-1)
+    amp16 = amp.astype(jnp.float16).astype(jnp.float32)
+    sched_q = (
+        jax.nn.one_hot(idx, n_frames, dtype=jnp.float32) * amp16
+    )
+    if preset == "f16":
+        vecs_q = vecs.astype(jnp.float16).astype(jnp.float32)
+        vec_bytes = 2 * c
+    elif preset == "int8":
+        scale = jnp.maximum(jnp.max(jnp.abs(vecs), axis=-1, keepdims=True),
+                            1e-12)
+        q = jnp.clip(jnp.round(vecs / scale * 127.0), -127, 127)
+        vecs_q = q / 127.0 * scale.astype(jnp.float16).astype(jnp.float32)
+        vec_bytes = c + 2  # int8 lanes + one f16 scale
+    else:
+        raise ValueError(preset)
+    return vecs_q, sched_q, vec_bytes + 2 + 2  # + frame u16 + amp f16
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", type=str,
+                   default="trained_weights/siam_overfit_full_sw3")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--selection-leak", type=float, default=0.02)
+    p.add_argument("--selection-floor", type=float, default=0.02)
+    p.add_argument("--attn-floor", type=float, default=0.01)
+    p.add_argument("--attn-leak", type=float, default=0.1)
+    p.add_argument("--switch-clamp", type=float, default=20.0)
+    p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--n-samples-log2", type=int, default=17)
+    p.add_argument("--n-events", type=int, default=32)
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--context-dim", type=int, default=32)
+    p.add_argument("--audio-events", type=int, default=0)
+    p.add_argument("--stream-windows", type=int, default=1,
+                   help="rebuild the trainer's longer segment; the rate "
+                        "demo encodes its FIRST window")
+    p.add_argument("--refine", type=int, default=256,
+                   help="carry shift+gain corrections on the wire, "
+                        "refined within this many samples (0 = off)")
+    p.add_argument("--watchdog-s", type=int, default=3000)
+    args = p.parse_args()
+
+    faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
+
+    if args.selection_leak or args.selection_floor:
+        from mptpu.sparse.quantize import (
+            set_selection_leak, set_selection_floor,
+        )
+        set_selection_leak(args.selection_leak)
+        set_selection_floor(args.selection_floor)
+
+    n_samples = 2 ** args.n_samples_log2
+    half = n_samples // 2
+    window, step_sz = 2048, 256
+    model = SIAMModel(
+        n_samples=n_samples, context_dim=args.context_dim,
+        in_channels=window // 2 + 1, hidden_channels=args.hidden,
+        n_events=args.n_events, transform_window_size=window,
+        transform_step_size=step_sz, fft_resonance=True,
+        attn_floor=args.attn_floor, attn_leak=args.attn_leak,
+        switch_clamp=args.switch_clamp, residual_clamp_scale=4.0,
+        encoder_clamp=1e4,
+    )
+
+    # the exact segment the checkpoint was fit to (overfit_stream_eval's
+    # construction), first window only
+    from mptpu.data.synthetic import synthetic_audio
+    n_win = max(1, args.stream_windows)
+    total_len = n_samples + (n_win - 1) * half
+    base_events = args.audio_events or int(n_samples / SAMPLE_RATE * 8)
+    seg = synthetic_audio(
+        total_len, SAMPLE_RATE,
+        n_events=int(round(base_events * total_len / n_samples)),
+        seed=args.seed, sustained=True)
+    target = jnp.asarray(seg).reshape(1, 1, total_len)[..., :n_samples]
+
+    ckpt_path = args.ckpt
+    if ckpt_path is None:
+        cands = sorted(
+            f for f in os.listdir(args.run)
+            if f.startswith("ckpt_") and f.endswith(".pkl")
+        )
+        ckpt_path = os.path.join(args.run, cands[-1])
+    payload = load_checkpoint(ckpt_path)
+    params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+    print(f"loaded {ckpt_path} (step {payload['step']})", flush=True)
+
+    iterative = jax.jit(make_iterative_fn(model))
+    channels, vecs, schedules, _ = iterative(params, target, NOISE_KEY)
+    recon_raw = jnp.sum(channels, axis=1, keepdims=True)
+    _ = float(recon_raw.sum())
+
+    # open-loop decode from dequantized tuples, training-noise keys
+    generate = jax.jit(
+        lambda p, v, s, k: model.apply(p, v, s, k, method=SIAMModel.generate)
+    )
+
+    def decode(vecs_q, sched_q):
+        outs = [
+            generate(params, vecs_q[:, i: i + 1], sched_q[:, i: i + 1],
+                     jax.random.fold_in(NOISE_KEY, i))
+            for i in range(args.n_events)
+        ]
+        return jnp.concatenate(outs, axis=1)
+
+    def snr(t, r):
+        return float(10 * jnp.log10(
+            jnp.maximum(jnp.sum(t ** 2), 1e-12)
+            / jnp.maximum(jnp.sum((t - r) ** 2), 1e-12)))
+
+    wire_seconds = half / SAMPLE_RATE  # streaming walk: half fresh/window
+    pcm_kbps = SAMPLE_RATE * 16 / 1000.0
+    out = {
+        "ckpt": ckpt_path,
+        "n_events": args.n_events,
+        "covered_span_s": round(wire_seconds, 3),
+        "raw_first_half_snr_db": round(
+            snr(target[..., :half], recon_raw[..., :half]), 3),
+        "pcm_kbps": round(pcm_kbps, 1),
+        "presets": {},
+    }
+    for preset in ("f16", "int8"):
+        vecs_q, sched_q, ev_bytes = quantize_events(vecs, schedules, preset)
+        if args.refine:
+            ev_bytes += 2 + 2  # shift i16 + gain f16
+        ch_q = decode(vecs_q, sched_q)
+        recon_q = jnp.sum(ch_q, axis=1, keepdims=True)
+        row = {
+            "bytes_per_event": ev_bytes,
+            "bytes_per_window": ev_bytes * args.n_events,
+            "kbps": round(ev_bytes * args.n_events * 8
+                          / wire_seconds / 1000.0, 3),
+            "compression_vs_pcm": round(
+                pcm_kbps / (ev_bytes * args.n_events * 8
+                            / wire_seconds / 1000.0), 1),
+            "wire_first_half_snr_db": round(
+                snr(target[..., :half], recon_q[..., :half]), 3),
+        }
+        if args.refine:
+            # encode-time corrections vs the ORIGINAL (in hand at encode),
+            # then quantized like everything else on the wire
+            refined, shifts, gains = refine_event_alignment(
+                target[..., :half], ch_q[..., :half],
+                max_shift=args.refine)
+            gains16 = gains.astype(jnp.float16).astype(jnp.float32)
+            n = ch_q.shape[-1]
+            idxs = (jnp.arange(n)[None, None, :]
+                    - shifts[..., None].astype(jnp.int32)) % n
+            ch_shifted = jnp.take_along_axis(ch_q, idxs, axis=-1)
+            recon_ref = jnp.einsum("be,ben->bn", gains16, ch_shifted)[
+                :, None]
+            row["refined_first_half_snr_db"] = round(
+                snr(target[..., :half], recon_ref[..., :half]), 3)
+            if preset == "f16":
+                write_wav(os.path.join(args.run, "recon_wire_f16.wav"),
+                          np.asarray(recon_ref[0, 0]), SAMPLE_RATE)
+        out["presets"][preset] = row
+    print(json.dumps(out, indent=1), flush=True)
+    with open(os.path.join(args.run, "codec_rate.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -140,7 +140,10 @@ def main():
         t0 = time.perf_counter()
         float(coder(sig, d).values.sum())
     else:
-        kernel = "fused_pipelined"
+        # gate_tail defaults on in sparse_code_fast: the boundary-tail
+        # recompute (Hankel ladder + MXU matmul) only runs for events
+        # that actually clip the signal end
+        kernel = "fused_pipelined_gated"
         coder = make_coder(True)
         t0 = time.perf_counter()
         try:
@@ -148,7 +151,7 @@ def main():
         except Exception as e:
             print(f"pipelined kernel unavailable ({type(e).__name__}); "
                   "falling back", file=sys.stderr)
-            kernel = "fused"
+            kernel = "fused_gated"
             coder = make_coder(False)
             t0 = time.perf_counter()
             float(coder(sig, d).values.sum())

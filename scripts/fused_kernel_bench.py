@@ -29,9 +29,20 @@ from mptpu.sparse import sparse_code_fast
 n_atoms, atom_size, n_samples, n_steps, batch = 512, 512, 16384, 100, 32
 rng = np.random.default_rng(0)
 d = jnp.asarray(rng.standard_normal((n_atoms, atom_size)).astype(np.float32))
-sig = jnp.asarray(
-    rng.standard_normal((batch, 1, n_samples)).astype(np.float32)
-)
+if "--audio" in sys.argv:
+    # synthetic-audio signals: the tail-recompute gate's win depends on
+    # how often the greedy argmax lands within atom_size of the signal
+    # end, which is workload-dependent — characterize both
+    from mptpu.data import AudioIterator
+
+    sig = next(iter(AudioIterator(batch, n_samples, normalize=True, seed=0)))
+    signal_kind = "synthetic audio"
+else:
+    sig = jnp.asarray(
+        rng.standard_normal((batch, 1, n_samples)).astype(np.float32)
+    )
+    signal_kind = "iid noise"
+print(f"signal: {signal_kind}", flush=True)
 
 results = {}
 VARIANTS = (
@@ -65,6 +76,14 @@ for name, pipelined, gate in VARIANTS:
     )
 
 a = results["original"]
+clip_rate = float(
+    np.mean(np.asarray(a.positions) > n_samples - atom_size)
+)
+print(
+    f"clipped-event rate: {clip_rate:.1%} "
+    "(the gated variants skip the tail recompute for the rest)",
+    flush=True,
+)
 for name, _, _ in VARIANTS[1:]:
     b = results[name]
     same = (

@@ -269,3 +269,59 @@ class TestStreamingWindows:
 
         with pytest.raises(ValueError):
             streaming_windows(np.zeros(100, np.float32), 64, 3)
+
+
+class TestCodecWireQuantize:
+    """scripts/codec_rate.py quantize_events — the codec's wire format."""
+
+    def _quantize(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "codec_rate",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "codec_rate.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.quantize_events
+
+    def test_f16_schedule_is_hard_impulse_at_argmax(self):
+        quantize_events = self._quantize()
+        rng = np.random.default_rng(0)
+        vecs = jnp.asarray(rng.normal(size=(2, 3, 8)).astype(np.float32))
+        sched = jnp.asarray(
+            rng.uniform(size=(2, 3, 16)).astype(np.float32)
+        )
+        vecs_q, sched_q, ev_bytes = quantize_events(vecs, sched, "f16")
+        # exactly one nonzero frame per event, at the argmax, with the
+        # f16-rounded peak amplitude
+        nz = np.count_nonzero(np.asarray(sched_q), axis=-1)
+        assert np.all(nz == 1)
+        idx = np.argmax(np.asarray(sched), axis=-1)
+        peak = np.take_along_axis(
+            np.asarray(sched_q), idx[..., None], axis=-1
+        )[..., 0]
+        want = np.take_along_axis(
+            np.asarray(sched), idx[..., None], axis=-1
+        )[..., 0].astype(np.float16).astype(np.float32)
+        np.testing.assert_array_equal(peak, want)
+        # f16 vec roundtrip error is bounded by half-ulp at this scale
+        np.testing.assert_allclose(
+            np.asarray(vecs_q), np.asarray(vecs), atol=2e-3, rtol=1e-3
+        )
+        assert ev_bytes == 2 * 8 + 2 + 2
+
+    def test_int8_error_bounded_by_per_event_scale(self):
+        quantize_events = self._quantize()
+        rng = np.random.default_rng(1)
+        vecs = jnp.asarray(
+            (rng.normal(size=(1, 4, 32)) * 10).astype(np.float32)
+        )
+        sched = jnp.asarray(rng.uniform(size=(1, 4, 64)).astype(np.float32))
+        vecs_q, _, ev_bytes = quantize_events(vecs, sched, "int8")
+        scale = np.max(np.abs(np.asarray(vecs)), axis=-1, keepdims=True)
+        err = np.abs(np.asarray(vecs_q) - np.asarray(vecs))
+        # one int8 step is scale/127; allow the extra f16 scale rounding
+        assert np.all(err <= scale / 127.0 * 0.5 + scale * 1e-3)
+        assert ev_bytes == 32 + 2 + 2 + 2

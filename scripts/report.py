@@ -160,6 +160,40 @@ def html_escape(s: str) -> str:
     return _html.escape(s)
 
 
+class _CodecRateComponent:
+    """Render scripts/codec_rate.py's codec_rate.json: the wire-format
+    rate/distortion table (kbps, compression vs PCM, wire SNR)."""
+
+    def __init__(self, rate: dict, title="Wire-format rate/distortion"):
+        self.rate = rate
+        self.title = title
+
+    def render(self):
+        r = self.rate
+        rows = "".join(
+            f"<tr><td>{name}</td><td>{p['bytes_per_event']}</td>"
+            f"<td>{p['bytes_per_window']}</td><td>{p['kbps']:.2f}</td>"
+            f"<td>{p['compression_vs_pcm']:.0f}x</td>"
+            f"<td>{p['wire_first_half_snr_db']:.2f}</td>"
+            f"<td>{p.get('refined_first_half_snr_db', float('nan')):.2f}"
+            "</td></tr>"
+            for name, p in r.get("presets", {}).items()
+        )
+        return (
+            f'<div class="component"><h4>{self.title}</h4>'
+            f"<p>{r.get('n_events', '?')} event tuples per window; the "
+            f"streaming walk delivers {r.get('covered_span_s', '?')} s of "
+            f"fresh audio per window (16-bit PCM at the same rate: "
+            f"{r.get('pcm_kbps', '?')} kbps). Float encode first-half "
+            f"SNR: {r.get('raw_first_half_snr_db', '?')} dB.</p>"
+            "<table border=1 cellpadding=4><tr><th>preset</th>"
+            "<th>B/event</th><th>B/window</th><th>kbps</th>"
+            "<th>vs PCM</th><th>wire SNR (dB)</th>"
+            "<th>+shift/gain refined (dB)</th></tr>"
+            f"{rows}</table></div>"
+        )
+
+
 def make_overfit_report(run_dir: str, out_path: str):
     """Render an overfit run directory's OWN artifacts (target.wav,
     recon_best.wav, metrics.json) — no model forward, so the audio is
@@ -239,6 +273,22 @@ def make_overfit_report(run_dir: str, out_path: str):
                 "first half"
             )
         components.insert(2, AudioComponent(streamed, sr, caption))
+    rate_json = os.path.join(run_dir, "codec_rate.json")
+    if os.path.exists(rate_json):
+        with open(rate_json) as f:
+            rate = _json.load(f)
+        components.append(_CodecRateComponent(rate))
+        wire_wav = os.path.join(run_dir, "recon_wire_f16.wav")
+        if os.path.exists(wire_wav):
+            wired, _ = read_wav(wire_wav)
+            f16 = rate.get("presets", {}).get("f16", {})
+            components.append(AudioComponent(
+                wired, sr,
+                "Decoded from the QUANTIZED wire (f16 preset, "
+                f"{f16.get('kbps', '?')} kbps, shift/gain refined): "
+                f"{f16.get('refined_first_half_snr_db', '?')} dB "
+                "first-half SNR",
+            ))
     conjure_article(
         out_path,
         "SIAM overfit existence proof",

@@ -217,7 +217,15 @@ if __name__ == "__main__":
     parser.add_argument("--context-dim", type=int, default=0)
     parser.add_argument("--attn-floor", type=float, default=0.0)
     parser.add_argument("--attn-leak", type=float, default=0.0)
+    parser.add_argument("--watchdog-s", type=int, default=0,
+                        help="self-bound --demo renders (a wedged TPU "
+                             "relay otherwise blocks forever); 0 = off "
+                             "for the interactive REPL")
     args = parser.parse_args()
+    if args.watchdog_s:
+        import faulthandler
+
+        faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
     if args.selection_leak or args.selection_floor:
         from mptpu.sparse.quantize import set_selection_leak, set_selection_floor
 

@@ -135,11 +135,18 @@ def main():
 
     ckpt_path = args.ckpt
     if ckpt_path is None:
-        cands = sorted(
-            f for f in os.listdir(args.run)
-            if f.startswith("ckpt_") and f.endswith(".pkl")
-        )
-        ckpt_path = os.path.join(args.run, cands[-1])
+        # prefer the EMA-best snapshot: the last ckpt_* can postdate a
+        # late-run divergence storm (run sw3's final checkpoint scored
+        # 5 dB below its EMA best)
+        ema = os.path.join(args.run, "ema_best.pkl")
+        if os.path.exists(ema):
+            ckpt_path = ema
+        else:
+            cands = sorted(
+                f for f in os.listdir(args.run)
+                if f.startswith("ckpt_") and f.endswith(".pkl")
+            )
+            ckpt_path = os.path.join(args.run, cands[-1])
     payload = load_checkpoint(ckpt_path)
     params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
     print(f"loaded {ckpt_path} (step {payload['step']})", flush=True)

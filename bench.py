@@ -20,16 +20,34 @@ import time
 import numpy as np
 
 # the bench must never hang the driver: a dead axon relay blocks the
-# first device op forever (observed 2026-08-16 re-provision). 40 min
-# covers the worst observed cold remote compile (~3 min) with margin.
-faulthandler.dump_traceback_later(2400, exit=True)
+# first device op forever (observed 2026-08-16 re-provision). 50 min
+# covers the worst observed cold remote compile (~3 min), the probe's
+# contention-tolerant retries (up to 14 min), and device contention
+# from a concurrent training run, with margin.
+faulthandler.dump_traceback_later(3000, exit=True)
 
 
-def default_backend_reachable(bound_s: int = 75) -> bool:
+def default_backend_reachable(bound_s: int = 420, attempts: int = 3) -> bool:
     """Probe the default jax platform in a self-bounding child process
     (same rationale as ``__graft_entry__._count_real_devices``: an
     in-process ``jax.devices()`` against a dead relay blocks forever,
-    and the child holds no device so its self-exit cannot wedge one)."""
+    and the child holds no device so its self-exit cannot wedge one).
+
+    The bound must cover device CONTENTION, not just attach latency: a
+    concurrent training run's in-flight compile queues even a trivial op
+    behind it (measured 62 s for an 8x8 sum while a SIAM step compiled),
+    and a 75 s bound misclassified that as a dead relay on 2026-08-18.
+    A truly dead relay blocks forever, so a generous bound plus retries
+    costs at most attempts*bound_s and never flips a live device to the
+    CPU-fallback path.
+
+    Attempts that fail FAST (well under the bound) are a distinct mode:
+    the relay actively erroring the attach — observed 2026-08-18 for
+    ~2 min right after a heavy client exited, with the relay healthy
+    again moments later. A settle delay between attempts rides that
+    window out instead of misclassifying it as a dead relay (which is
+    exactly what sank the 15:41 preview bench to the CPU-fallback
+    path that day)."""
     probe = (
         "import faulthandler\n"
         f"faulthandler.dump_traceback_later({bound_s}, exit=True)\n"
@@ -37,13 +55,23 @@ def default_backend_reachable(bound_s: int = 75) -> bool:
         "jax.devices()\n"
         "print('REACHABLE', float(jnp.ones((8, 8)).sum()))\n"
     )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", probe], capture_output=True, text=True
-        )
-        return "REACHABLE" in out.stdout
-    except Exception:
-        return False
+    for i in range(attempts):
+        if i:
+            time.sleep(90)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, text=True
+            )
+            if "REACHABLE" in out.stdout:
+                return True
+            print(
+                f"backend probe attempt {i + 1}/{attempts} failed; "
+                f"stderr tail: {out.stderr.strip()[-300:]!r}",
+                file=sys.stderr,
+            )
+        except Exception:
+            pass
+    return False
 
 
 def cpu_reference_mp(signal: np.ndarray, d: np.ndarray, n_steps: int) -> float:

@@ -556,6 +556,7 @@ def make_streaming_fn(model: SIAMModel):
         refit_gains_against: jax.Array | None = None,
         refit_ridge: float = 1e-3,
         align_refine: int = 0,
+        pristine_windows: bool = False,
     ):
         """``fixed_noise=True`` passes the SAME key to every window
         (instead of the reference's per-window fold): required when
@@ -571,7 +572,17 @@ def make_streaming_fn(model: SIAMModel):
         (greedy amplitudes are fixed against stale residuals; the joint
         least-squares fix-up can only lower waveform error). The encoder
         has the original audio at encode time, so this is a legitimate
-        codec-side step, not an eval-time cheat."""
+        codec-side step, not an eval-time cheat.
+
+        ``pristine_windows=True`` feeds every window the ORIGINAL
+        spectrogram instead of the running residual (the walk's default
+        subtracts each window's decode before encoding the next, per the
+        reference's iterative decomposition). Checkpoints overfit with
+        --stream-windows train each window position on pristine input,
+        so the residual handoff is out-of-distribution for them; this
+        mode scores the walk the way such a checkpoint was trained. The
+        same jitted per-window program runs either way — the returned
+        residual write-back is simply discarded."""
         samps = audio.shape[-1]
         spec = model.transform(audio)
         time = spec.shape[-1]
@@ -581,7 +592,7 @@ def make_streaming_fn(model: SIAMModel):
 
         step_count = 0
         for i in range(0, time - frame_window, frame_step):
-            spec, segments, channels, vecs, schedules = window_step(
+            new_spec, segments, channels, vecs, schedules = window_step(
                 params,
                 spec,
                 segments,
@@ -589,6 +600,8 @@ def make_streaming_fn(model: SIAMModel):
                 i * model.transform_step_size,
                 key if fixed_noise else jax.random.fold_in(key, step_count),
             )
+            if not pristine_windows:
+                spec = new_spec
             step_count += 1
             all_vecs.append(vecs)
             all_times.append(schedules)
@@ -638,6 +651,7 @@ def streaming_encode(
     refit_gains_against: jax.Array | None = None,
     refit_ridge: float = 1e-3,
     align_refine: int = 0,
+    pristine_windows: bool = False,
 ):
     """One-shot convenience wrapper over :func:`make_streaming_fn` (use
     the factory directly when calling repeatedly — it caches the jitted
@@ -646,4 +660,5 @@ def streaming_encode(
         params, audio, key, return_event_vectors=return_event_vectors,
         fixed_noise=fixed_noise, refit_gains_against=refit_gains_against,
         refit_ridge=refit_ridge, align_refine=align_refine,
+        pristine_windows=pristine_windows,
     )

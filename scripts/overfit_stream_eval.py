@@ -60,6 +60,12 @@ def main():
                         "every (window,event) track within this many "
                         "samples (refine_event_alignment; 0 = gains "
                         "only)")
+    p.add_argument("--pristine-windows", action="store_true",
+                   help="ALSO score the walk with every window encoded "
+                        "from the original spectrogram instead of the "
+                        "running residual (--stream-windows checkpoints "
+                        "train each position on pristine input, so the "
+                        "residual handoff is out-of-distribution)")
     p.add_argument("--watchdog-s", type=int, default=3600)
     args = p.parse_args()
 
@@ -141,6 +147,18 @@ def main():
             align_refine=args.align_refine,
         )[..., :total_len]
         _ = float(recon_refit.sum())
+    recon_pristine = None
+    if args.pristine_windows:
+        recon_pristine = stream(
+            params, padded, jax.random.PRNGKey(42), fixed_noise=True,
+            refit_gains_against=jnp.pad(
+                target, ((0, 0), (0, 0), (0, n_samples))
+            ) if args.gain_refit else None,
+            refit_ridge=args.gain_refit or 1e-3,
+            align_refine=args.align_refine,
+            pristine_windows=True,
+        )[..., :total_len]
+        _ = float(recon_pristine.sum())
 
     def snr(t, r):
         return float(10 * jnp.log10(
@@ -173,6 +191,13 @@ def main():
             snr(target[..., :half], recon_refit[..., :half]), 3)
         out["refit_second_half_snr_db"] = round(
             snr(target[..., half:], recon_refit[..., half:]), 3)
+    if recon_pristine is not None:
+        out["pristine_full_snr_db"] = round(snr(target, recon_pristine), 3)
+        out["pristine_full_lsd_db"] = round(lsd(target, recon_pristine), 3)
+        out["pristine_first_half_snr_db"] = round(
+            snr(target[..., :half], recon_pristine[..., :half]), 3)
+        out["pristine_second_half_snr_db"] = round(
+            snr(target[..., half:], recon_pristine[..., half:]), 3)
     print(json.dumps(out, indent=1), flush=True)
     with open(os.path.join(args.run, "stream_eval.json"), "w") as f:
         json.dump(out, f, indent=1)
@@ -181,6 +206,9 @@ def main():
     if recon_refit is not None:
         write_wav(os.path.join(args.run, "recon_streaming_refit.wav"),
                   np.asarray(recon_refit[0, 0]), 22050)
+    if recon_pristine is not None:
+        write_wav(os.path.join(args.run, "recon_streaming_pristine.wav"),
+                  np.asarray(recon_pristine[0, 0]), 22050)
 
 
 if __name__ == "__main__":

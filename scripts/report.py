@@ -273,6 +273,18 @@ def make_overfit_report(run_dir: str, out_path: str):
                 "first half"
             )
         components.insert(2, AudioComponent(streamed, sr, caption))
+        pristine_wav = os.path.join(run_dir, "recon_streaming_pristine.wav")
+        if os.path.exists(pristine_wav) and "pristine_full_snr_db" in se:
+            pristine, _ = read_wav(pristine_wav)
+            components.insert(3, AudioComponent(
+                pristine, sr,
+                "Streaming walk with PRISTINE window inputs (no residual "
+                "handoff — matches how --stream-windows checkpoints were "
+                f"trained): {se.get('pristine_full_snr_db', '?')} dB "
+                "full-segment SNR, "
+                f"{se.get('pristine_second_half_snr_db', '?')} dB second "
+                "half",
+            ))
     rate_json = os.path.join(run_dir, "codec_rate.json")
     if os.path.exists(rate_json):
         with open(rate_json) as f:

@@ -132,6 +132,17 @@ def main():
         n_events=int(round(base_events * total_len / n_samples)),
         seed=args.seed, sustained=True)
     target = jnp.asarray(seg).reshape(1, 1, total_len)[..., :n_samples]
+    # ENCODE the fade-tailed window: the trainer always encodes
+    # faded_target (scripts/siam_overfit.py — the window's second half
+    # is faded because the streaming mask confines events to the first
+    # half), so an unfaded tail is out-of-distribution for the encoder.
+    # This is the codec's analysis-window convention, applied by the
+    # encoder at encode time (it has the audio) — zero rate cost, and
+    # scoring below stays against the UNfaded target's first half,
+    # where the fade multiplier is identically 1.
+    fade = jnp.ones((1, 1, n_samples)).at[..., half:].set(
+        jnp.linspace(1.0, 0.0, half) ** 8)
+    enc_input = target * fade
 
     ckpt_path = args.ckpt
     if ckpt_path is None:
@@ -152,7 +163,7 @@ def main():
     print(f"loaded {ckpt_path} (step {payload['step']})", flush=True)
 
     iterative = jax.jit(make_iterative_fn(model))
-    channels, vecs, schedules, _ = iterative(params, target, NOISE_KEY)
+    channels, vecs, schedules, _ = iterative(params, enc_input, NOISE_KEY)
     recon_raw = jnp.sum(channels, axis=1, keepdims=True)
     _ = float(recon_raw.sum())
 

@@ -547,6 +547,35 @@ def make_streaming_fn(model: SIAMModel):
         )
         return spec, segments, channels, vecs, schedules
 
+    # pristine-windows mode: encode each window EXACTLY the way the
+    # overfit/quality trainers present it — a standalone time-domain
+    # slice with the fade-tailed second half (the streaming mask
+    # confines events to the first half, so trainers fade the tail;
+    # an unfaded tail measured ~6 dB of OOD loss in the wire codec) —
+    # and a fresh transform of that slice (the big-spec slice differs
+    # at window boundaries from the standalone transform the trainers
+    # use). No residual handoff: the write-back is skipped entirely.
+    half_window = window_size // 2
+    _fade_tail = jnp.ones((1, 1, window_size)).at[..., half_window:].set(
+        jnp.linspace(1.0, 0.0, half_window) ** 8
+    )
+
+    @jax.jit
+    def pristine_window_step(params, audio, segments, sample_i, key):
+        win = lax.dynamic_slice(
+            audio, (0, 0, sample_i), (1, 1, window_size)
+        ) * _fade_tail
+        channels, vecs, schedules, _ = _scan_fn(
+            params, model.transform(win), key, do_transform=False
+        )
+        seg = lax.dynamic_slice(
+            segments, (0, 0, sample_i), (1, model.n_events, window_size)
+        )
+        segments = lax.dynamic_update_slice(
+            segments, seg + channels, (0, 0, sample_i)
+        )
+        return segments, channels, vecs, schedules
+
     def stream(
         params,
         audio: jax.Array,
@@ -574,15 +603,16 @@ def make_streaming_fn(model: SIAMModel):
         has the original audio at encode time, so this is a legitimate
         codec-side step, not an eval-time cheat.
 
-        ``pristine_windows=True`` feeds every window the ORIGINAL
-        spectrogram instead of the running residual (the walk's default
-        subtracts each window's decode before encoding the next, per the
-        reference's iterative decomposition). Checkpoints overfit with
-        --stream-windows train each window position on pristine input,
-        so the residual handoff is out-of-distribution for them; this
-        mode scores the walk the way such a checkpoint was trained. The
-        same jitted per-window program runs either way — the returned
-        residual write-back is simply discarded."""
+        ``pristine_windows=True`` encodes every window the way the
+        trainers present it — a standalone fade-tailed time-domain
+        slice with its own transform — instead of the running residual
+        spectrogram (the walk's default subtracts each window's decode
+        before encoding the next, per the reference's iterative
+        decomposition). Checkpoints overfit with --stream-windows train
+        each position on pristine faded input, so the residual handoff
+        AND the unfaded tail are both out-of-distribution for them;
+        this mode scores the walk the way such a checkpoint was
+        trained (see ``pristine_window_step`` above)."""
         samps = audio.shape[-1]
         spec = model.transform(audio)
         time = spec.shape[-1]
@@ -592,16 +622,19 @@ def make_streaming_fn(model: SIAMModel):
 
         step_count = 0
         for i in range(0, time - frame_window, frame_step):
-            new_spec, segments, channels, vecs, schedules = window_step(
-                params,
-                spec,
-                segments,
-                i,
-                i * model.transform_step_size,
-                key if fixed_noise else jax.random.fold_in(key, step_count),
+            step_key = (
+                key if fixed_noise else jax.random.fold_in(key, step_count)
             )
-            if not pristine_windows:
-                spec = new_spec
+            if pristine_windows:
+                segments, channels, vecs, schedules = pristine_window_step(
+                    params, audio, segments,
+                    i * model.transform_step_size, step_key,
+                )
+            else:
+                spec, segments, channels, vecs, schedules = window_step(
+                    params, spec, segments,
+                    i, i * model.transform_step_size, step_key,
+                )
             step_count += 1
             all_vecs.append(vecs)
             all_times.append(schedules)

@@ -326,6 +326,47 @@ class TestStreaming:
         # different noise draws -> different renders
         assert float(np.sum((np.asarray(folded) - np.asarray(fixed)) ** 2)) > 0
 
+    def test_streaming_pristine_windows_mode(self):
+        """pristine_windows=True encodes each window exactly as the
+        trainers present it: a standalone fade-tailed time-domain slice
+        with its own transform, no residual handoff. On the sw3
+        checkpoint this recovered the train-eval number through the
+        composed walk (5.78 -> 12.00 dB first-half; BENCHMARKS.md).
+        Pin the mode's contract: finite output, same shape, and a
+        DIFFERENT render from the residual walk (the two modes must
+        not silently collapse into one another)."""
+        from mptpu.models.siam import SIAMModel, make_streaming_fn
+
+        model = SIAMModel(
+            n_samples=2**11, context_dim=8, in_channels=257,
+            hidden_channels=16, n_events=2,
+            transform_window_size=512, transform_step_size=256,
+            fft_resonance=True,
+        )
+        audio = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 2**12)) * 0.1
+        params = model.init(KEY, audio[..., : 2**11], KEY)
+        stream = make_streaming_fn(model)
+        residual = stream(params, audio, KEY, fixed_noise=True)
+        pristine = stream(
+            params, audio, KEY, fixed_noise=True, pristine_windows=True
+        )
+        assert pristine.shape == residual.shape
+        assert np.isfinite(np.asarray(pristine)).all()
+        assert float(
+            np.sum((np.asarray(residual) - np.asarray(pristine)) ** 2)
+        ) > 0
+        # the joint gain re-fit composes with pristine mode and, with
+        # the all-ones gain vector in its feasible set, cannot lose to
+        # it on the re-fit target
+        tgt = audio
+        refit = stream(
+            params, audio, KEY, fixed_noise=True, pristine_windows=True,
+            refit_gains_against=tgt, refit_ridge=1e-4,
+        )
+        err_raw = float(np.sum((np.asarray(tgt) - np.asarray(pristine)) ** 2))
+        err_fit = float(np.sum((np.asarray(tgt) - np.asarray(refit)) ** 2))
+        assert err_fit <= err_raw * (1 + 1e-3)
+
 
 class TestGAN:
     def test_gan_steps_with_discriminator(self):

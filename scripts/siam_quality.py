@@ -451,6 +451,21 @@ def main():
                 )
                 entry["streaming_refit_snr_db"] = round(float(r_snr), 3)
                 entry["streaming_refit_lsd_db"] = round(float(r_lsd), 3)
+                # pristine mode encodes each window as the trainer
+                # presents it (standalone fade-tailed slice, own
+                # transform) — on the sw3 overfit checkpoint this
+                # recovered the training numbers through the walk
+                # (5.78 -> 12.00 dB first-half; BENCHMARKS.md)
+                p_recon = stream_fn(
+                    params, stream_holdout, jax.random.PRNGKey(11),
+                    refit_gains_against=stream_holdout,
+                    pristine_windows=True,
+                )
+                p_snr, p_lsd = spectral_metrics(
+                    stream_holdout, p_recon, window, step_sz
+                )
+                entry["streaming_pristine_snr_db"] = round(float(p_snr), 3)
+                entry["streaming_pristine_lsd_db"] = round(float(p_lsd), 3)
             metrics["eval"].append(entry)
             print("eval", json.dumps(entry), flush=True)
             with open(os.path.join(args.out, "metrics.json"), "w") as f:

@@ -123,8 +123,16 @@ def main():
                 f for f in os.listdir(args.run)
                 if f.startswith("ckpt_") and f.endswith(".pkl")
             )
+            if not cands:
+                sys.exit(f"no checkpoint (.pkl) in {args.run} — the run "
+                         "dir may hold only whitelisted artifacts "
+                         "(wav/json); pass --ckpt explicitly")
             ckpt_path = os.path.join(args.run, cands[-1])
     payload = load_checkpoint(ckpt_path)
+    if payload is None:
+        sys.exit(f"no loadable checkpoint at {ckpt_path} — the run "
+                 "dir may hold only whitelisted artifacts (wav/json);"
+                 " pass --ckpt explicitly")
     params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
     print(f"loaded {ckpt_path} (step {payload['step']})", flush=True)
 

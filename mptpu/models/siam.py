@@ -512,6 +512,21 @@ class Reservoir:
         )
 
 
+def fade_tail(n_samples: int, power: int = 8) -> jax.Array:
+    """The codec's analysis-window envelope, shape ``(1, 1, n_samples)``:
+    ones over the first half, a ``linspace(1→0)**power`` ramp over the
+    second. The encoder's streaming mask confines events to a window's
+    first half, so every trainer encodes the fade-tailed window
+    (``scripts/siam_overfit.py``) — and an encoder fed an UNfaded tail
+    is out-of-distribution (measured ~6 dB on the wire codec,
+    BENCHMARKS.md). One definition so trainer, walk, and rate tooling
+    cannot drift apart."""
+    half = n_samples // 2
+    return jnp.ones((1, 1, n_samples)).at[..., half:].set(
+        jnp.linspace(1.0, 0.0, n_samples - half) ** power
+    )
+
+
 def make_streaming_fn(model: SIAMModel):
     """Build a reusable streaming encoder with the per-window program
     jitted ONCE (periodic evals would otherwise re-trace every call).
@@ -555,10 +570,7 @@ def make_streaming_fn(model: SIAMModel):
     # and a fresh transform of that slice (the big-spec slice differs
     # at window boundaries from the standalone transform the trainers
     # use). No residual handoff: the write-back is skipped entirely.
-    half_window = window_size // 2
-    _fade_tail = jnp.ones((1, 1, window_size)).at[..., half_window:].set(
-        jnp.linspace(1.0, 0.0, half_window) ** 8
-    )
+    _fade_tail = fade_tail(window_size)
 
     @jax.jit
     def pristine_window_step(params, audio, segments, sample_i, key):

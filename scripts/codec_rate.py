@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from mptpu.models.siam import (
     SIAMModel,
+    fade_tail,
     make_iterative_fn,
     refine_event_alignment,
 )
@@ -140,9 +141,7 @@ def main():
     # encoder at encode time (it has the audio) — zero rate cost, and
     # scoring below stays against the UNfaded target's first half,
     # where the fade multiplier is identically 1.
-    fade = jnp.ones((1, 1, n_samples)).at[..., half:].set(
-        jnp.linspace(1.0, 0.0, half) ** 8)
-    enc_input = target * fade
+    enc_input = target * fade_tail(n_samples)
 
     ckpt_path = args.ckpt
     if ckpt_path is None:

@@ -43,7 +43,9 @@ import jax.numpy as jnp
 import optax
 
 from mptpu.losses import iterative_loss
-from mptpu.models.siam import SIAMModel, make_iterative_fn, siam_transform
+from mptpu.models.siam import (
+    SIAMModel, fade_tail, make_iterative_fn, siam_transform,
+)
 from mptpu.train import optimizer, CheckpointManager
 from mptpu.train.checkpoint import save_checkpoint
 from mptpu.utils.wav import write_wav
@@ -299,10 +301,10 @@ def main():
 
     # second-half fade (iterativedecomposition.py:519-524): the encoder's
     # streaming mask hides the second half, so content there would push
-    # every event toward silence; SNR is evaluated on the first half
-    fade = jnp.ones((1, 1, n_samples)).at[..., half:].set(
-        jnp.linspace(1.0, 0.0, half) ** 8
-    )
+    # every event toward silence; SNR is evaluated on the first half.
+    # fade_tail is the shared codec analysis-window definition — decode
+    # paths (pristine walk, codec_rate) must present windows the same way
+    fade = fade_tail(n_samples)
     faded_targets = targets * fade
     faded_target = faded_targets[0]
     tgt_energy_halves = jnp.sum(targets[..., :half] ** 2, axis=(-1, -2, -3))

@@ -326,6 +326,27 @@ class TestStreaming:
         # different noise draws -> different renders
         assert float(np.sum((np.asarray(folded) - np.asarray(fixed)) ** 2)) > 0
 
+    def test_fade_tail_envelope(self):
+        """fade_tail is the single definition of the codec's analysis
+        window (trainers encode fade-tailed windows; decode paths must
+        present windows identically — a drifted copy cost ~6 dB on the
+        wire codec, BENCHMARKS.md)."""
+        from mptpu.models.siam import fade_tail
+
+        f = np.asarray(fade_tail(256))
+        assert f.shape == (1, 1, 256)
+        assert (f[..., :128] == 1.0).all()
+        tail = f[0, 0, 128:]
+        assert tail[0] == 1.0 and tail[-1] == 0.0
+        assert (np.diff(tail) <= 0).all()  # monotone ramp
+        # bit-identical to the trainers' literal construction
+        # (scripts/siam_overfit.py; f32 jnp.linspace arithmetic)
+        import jax.numpy as jnp
+        ref = jnp.ones((1, 1, 256)).at[..., 128:].set(
+            jnp.linspace(1.0, 0.0, 128) ** 8
+        )
+        assert np.array_equal(f, np.asarray(ref))
+
     def test_streaming_pristine_windows_mode(self):
         """pristine_windows=True encodes each window exactly as the
         trainers present it: a standalone fade-tailed time-domain slice

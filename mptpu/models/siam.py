@@ -572,6 +572,39 @@ def make_streaming_fn(model: SIAMModel):
     # use). No residual handoff: the write-back is skipped entirely.
     _fade_tail = fade_tail(window_size)
 
+    # time-domain residual handoff (the DEFAULT walk, round 4): window k
+    # encodes transform((audio_slice - decoded_so_far_slice) * fade) —
+    # later windows see earlier removals (the reference's iterative-
+    # decomposition semantics, iterativedecomposition.py:275-319) with
+    # the subtraction done where it is EXACT. The reference subtracts
+    # magnitude spectrograms, which is not a linear operation on the
+    # signal (|STFT(a-b)| != |STFT a| - |STFT b|) and can hand the next
+    # window infeasible negative "magnitudes"; subtracting the decoded
+    # AUDIO before the transform removes exactly the content the
+    # previous windows explained. Only the immediately-previous window's
+    # decode reaches window k's first half (events are mask-confined to
+    # window first halves; rendered channels span one window), so the
+    # handoff tail is precisely what scripts/siam_overfit.py
+    # --residual-handoff trains the encoder on. The window is presented
+    # standalone-fade-tailed, matching training (fade_tail above).
+    @jax.jit
+    def handoff_window_step(params, audio, decoded, segments, sample_i, key):
+        a = lax.dynamic_slice(audio, (0, 0, sample_i), (1, 1, window_size))
+        d = lax.dynamic_slice(decoded, (0, 0, sample_i), (1, 1, window_size))
+        win = (a - d) * _fade_tail
+        channels, vecs, schedules, _ = _scan_fn(
+            params, model.transform(win), key, do_transform=False
+        )
+        seg = lax.dynamic_slice(
+            segments, (0, 0, sample_i), (1, model.n_events, window_size)
+        )
+        segments = lax.dynamic_update_slice(
+            segments, seg + channels, (0, 0, sample_i)
+        )
+        dsum = jnp.sum(channels, axis=1, keepdims=True)
+        decoded = lax.dynamic_update_slice(decoded, d + dsum, (0, 0, sample_i))
+        return decoded, segments, channels, vecs, schedules
+
     @jax.jit
     def pristine_window_step(params, audio, segments, sample_i, key):
         win = lax.dynamic_slice(
@@ -598,6 +631,7 @@ def make_streaming_fn(model: SIAMModel):
         refit_ridge: float = 1e-3,
         align_refine: int = 0,
         pristine_windows: bool = False,
+        mode: str = "handoff",
     ):
         """``fixed_noise=True`` passes the SAME key to every window
         (instead of the reference's per-window fold): required when
@@ -615,21 +649,32 @@ def make_streaming_fn(model: SIAMModel):
         has the original audio at encode time, so this is a legitimate
         codec-side step, not an eval-time cheat.
 
-        ``pristine_windows=True`` encodes every window the way the
-        trainers present it — a standalone fade-tailed time-domain
-        slice with its own transform — instead of the running residual
-        spectrogram (the walk's default subtracts each window's decode
-        before encoding the next, per the reference's iterative
-        decomposition). Checkpoints overfit with --stream-windows train
-        each position on pristine faded input, so the residual handoff
-        AND the unfaded tail are both out-of-distribution for them;
-        this mode scores the walk the way such a checkpoint was
-        trained (see ``pristine_window_step`` above)."""
+        ``mode`` selects how each window's encoder input is built:
+
+        - ``"handoff"`` (default): time-domain residual handoff — window
+          k encodes ``(audio_slice - decoded_so_far) * fade_tail`` with
+          its own transform. The reference's later-windows-see-earlier-
+          removals semantics (``iterativedecomposition.py:275-319``)
+          with the subtraction done in the domain where it is exact;
+          what ``scripts/siam_overfit.py --residual-handoff`` trains.
+        - ``"spec"``: the literal reference convention — one transform
+          of the whole audio, per-window magnitude-spectrogram residual
+          written back in place.
+        - ``"pristine"`` (or ``pristine_windows=True``): no handoff at
+          all; every window encoded as a standalone fade-tailed slice
+          (how --stream-windows checkpoints WITHOUT --residual-handoff
+          were trained; measured ~3.6 dB above the spec walk on such a
+          checkpoint, BENCHMARKS.md)."""
+        if pristine_windows:
+            mode = "pristine"
+        if mode not in ("handoff", "spec", "pristine"):
+            raise ValueError(f"unknown streaming mode {mode!r}")
         samps = audio.shape[-1]
         spec = model.transform(audio)
         time = spec.shape[-1]
 
         segments = jnp.zeros((1, model.n_events, samps + window_size))
+        decoded = jnp.zeros((1, 1, samps + window_size))
         all_vecs, all_times, all_events, offsets = [], [], [], []
 
         step_count = 0
@@ -637,10 +682,17 @@ def make_streaming_fn(model: SIAMModel):
             step_key = (
                 key if fixed_noise else jax.random.fold_in(key, step_count)
             )
-            if pristine_windows:
+            if mode == "pristine":
                 segments, channels, vecs, schedules = pristine_window_step(
                     params, audio, segments,
                     i * model.transform_step_size, step_key,
+                )
+            elif mode == "handoff":
+                decoded, segments, channels, vecs, schedules = (
+                    handoff_window_step(
+                        params, audio, decoded, segments,
+                        i * model.transform_step_size, step_key,
+                    )
                 )
             else:
                 spec, segments, channels, vecs, schedules = window_step(
@@ -697,6 +749,7 @@ def streaming_encode(
     refit_ridge: float = 1e-3,
     align_refine: int = 0,
     pristine_windows: bool = False,
+    mode: str = "handoff",
 ):
     """One-shot convenience wrapper over :func:`make_streaming_fn` (use
     the factory directly when calling repeatedly — it caches the jitted
@@ -705,5 +758,5 @@ def streaming_encode(
         params, audio, key, return_event_vectors=return_event_vectors,
         fixed_noise=fixed_noise, refit_gains_against=refit_gains_against,
         refit_ridge=refit_ridge, align_refine=align_refine,
-        pristine_windows=pristine_windows,
+        pristine_windows=pristine_windows, mode=mode,
     )

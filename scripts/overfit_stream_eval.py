@@ -137,20 +137,27 @@ def main():
     print(f"loaded {ckpt_path} (step {payload['step']})", flush=True)
 
     stream = make_streaming_fn(model)
+    # the checkpoint trained with --fixed-noise: every decode must use
+    # the same key the decoder memorized
+    kw = dict(fixed_noise=True)
+    padded_tgt = jnp.pad(target, ((0, 0), (0, 0), (0, n_samples)))
+    # DEFAULT walk (time-domain residual handoff, models/siam.py): the
+    # deployment decode — no sidestep flags
     recon_full = stream(
-        params, padded, jax.random.PRNGKey(42),
-        # the checkpoint trained with --fixed-noise: every decode must
-        # use the same key the decoder memorized
-        fixed_noise=True,
+        params, padded, jax.random.PRNGKey(42), **kw
     )[..., :total_len]
     _ = float(recon_full.sum())  # force transfer (axon under-reports)
+    # the reference-literal spec-domain residual write-back, for the
+    # record beside it
+    recon_spec = stream(
+        params, padded, jax.random.PRNGKey(42), mode="spec", **kw
+    )[..., :total_len]
+    _ = float(recon_spec.sum())
     recon_refit = None
     if args.gain_refit:
         recon_refit = stream(
-            params, padded, jax.random.PRNGKey(42), fixed_noise=True,
-            refit_gains_against=jnp.pad(
-                target, ((0, 0), (0, 0), (0, n_samples))
-            ),
+            params, padded, jax.random.PRNGKey(42), **kw,
+            refit_gains_against=padded_tgt,
             refit_ridge=args.gain_refit,
             align_refine=args.align_refine,
         )[..., :total_len]
@@ -158,10 +165,8 @@ def main():
     recon_pristine = None
     if args.pristine_windows:
         recon_pristine = stream(
-            params, padded, jax.random.PRNGKey(42), fixed_noise=True,
-            refit_gains_against=jnp.pad(
-                target, ((0, 0), (0, 0), (0, n_samples))
-            ) if args.gain_refit else None,
+            params, padded, jax.random.PRNGKey(42), **kw,
+            refit_gains_against=padded_tgt if args.gain_refit else None,
             refit_ridge=args.gain_refit or 1e-3,
             align_refine=args.align_refine,
             pristine_windows=True,
@@ -183,12 +188,20 @@ def main():
         "ckpt": ckpt_path,
         "stream_windows": n_win,
         "total_len": int(total_len),
+        # streaming_* = the DEFAULT walk (round 4+: time-domain
+        # residual handoff; r3 files recorded the spec-domain walk
+        # under these keys — see default_mode)
+        "default_mode": "handoff",
         "streaming_full_snr_db": round(snr(target, recon_full), 3),
         "streaming_full_lsd_db": round(lsd(target, recon_full), 3),
         "streaming_first_half_snr_db": round(
             snr(target[..., :half], recon_full[..., :half]), 3),
         "streaming_second_half_snr_db": round(
             snr(target[..., half:], recon_full[..., half:]), 3),
+        # reference-literal spec-domain residual write-back
+        "spec_full_snr_db": round(snr(target, recon_spec), 3),
+        "spec_first_half_snr_db": round(
+            snr(target[..., :half], recon_spec[..., :half]), 3),
     }
     if recon_refit is not None:
         out["refit_ridge"] = args.gain_refit

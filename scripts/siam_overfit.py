@@ -147,6 +147,60 @@ def main():
                         "flips make the loss landscape piecewise — "
                         "averaging over the flip dynamics is the "
                         "standard smoother")
+    p.add_argument("--residual-handoff", type=int, default=0,
+                   help="with --stream-windows N>1, switch window k's "
+                        "training input to the RESIDUAL after window "
+                        "k-1's decode once this many steps have run "
+                        "(0 = off, pristine windows throughout). The "
+                        "deployment decode is the half-overlap residual-"
+                        "handoff walk (reference iterativedecomposition"
+                        ".py:275-319): window k encodes what earlier "
+                        "windows did not explain. Pristine-trained "
+                        "checkpoints score ~3.6 dB worse through that "
+                        "walk than through the pristine sidestep "
+                        "(sw3 stream_eval.json); this trains the "
+                        "handoff itself: window k's target becomes "
+                        "target_k - stop_grad(window k-1's decoded "
+                        "second half), subtracted in the TIME domain "
+                        "before the fade (the walk's exact convention, "
+                        "models/siam.py handoff_window_step). The first "
+                        "N steps stay pristine as a curriculum (an "
+                        "untrained previous window's residual is just "
+                        "the target plus noise)")
+    p.add_argument("--walk-eval-every", type=int, default=0,
+                   help="every N steps, run the COMPOSED default-mode "
+                        "streaming walk (time-domain residual handoff + "
+                        "refit) over the whole segment and log full-"
+                        "segment SNR/LSD — the deployment metric. Saves "
+                        "walk_best.pkl/recon_walk_best.wav at each new "
+                        "best. 0 = off")
+    p.add_argument("--b2", type=float, default=0.999,
+                   help="Adam beta2. The r3 divergence storms were "
+                        "optimizer cliffs (finite gradients, gnorm 3e13 "
+                        "at frozen params — nan_hunt4.json): Adam's "
+                        "second moment at 0.999 is a 1000-step average, "
+                        "so a rare huge gradient on the piecewise "
+                        "greedy-selection objective produces an update "
+                        "~g/sqrt(v) thousands of times larger than "
+                        "steady state. 0.95 adapts v within ~20 steps "
+                        "(the standard large-model stability setting)")
+    p.add_argument("--trust-ratio", type=float, default=0.0,
+                   help="per-parameter-leaf trust-ratio clip: scale "
+                        "each leaf's Adam update so ||update|| <= "
+                        "ratio * ||param|| (0 = off). Bounds what any "
+                        "single cliff step can do to a layer "
+                        "regardless of gradient scale; 0.1 caps a step "
+                        "at 10%% of the layer's norm")
+    p.add_argument("--gain-reg", type=float, default=0.0,
+                   help="with --gain-refit, add this weight * "
+                        "mean((gains-1)^2) to the loss. The r3 wire "
+                        "codec's raw decode was -0.147 dB while the "
+                        "refit decode hit 12.19 dB with |gains| at the "
+                        "±10 clip — the trained amplitudes were 10x "
+                        "miscalibrated and the 2-scalar/event wire "
+                        "refinement was load-bearing. Pulling the "
+                        "refit gains toward 1 makes the RAW decode "
+                        "approach the refit one (0 = off)")
     p.add_argument("--balance-windows", action="store_true",
                    help="with --stream-windows N, give the window with "
                         "the worst eval SNR one extra training visit per "
@@ -281,7 +335,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(key, target, key)
-    opt = optimizer(lr=args.lr, b1=0.9, b2=0.999)
+    opt = optimizer(lr=args.lr, b1=0.9, b2=args.b2)
     opt_state = opt.init(params)
     ckpt = CheckpointManager(args.out, every=250)
     start_step = 0
@@ -330,7 +384,7 @@ def main():
             tgt, channels, ridge=args.gain_refit, span=half
         )
         gains = jnp.clip(gains, -10.0, 10.0)
-        return jnp.einsum("be,ben->bn", gains, channels)[:, None]
+        return jnp.einsum("be,ben->bn", gains, channels)[:, None], gains
 
     # (refit_recon takes the window's own target when --stream-windows>1)
 
@@ -341,22 +395,40 @@ def main():
             channels,
             lambda x: siam_transform(x, window, step_sz, mag_epsilon=1e-6),
         )
-        recon = jnp.sum(channels, axis=1, keepdims=True)
+        raw = jnp.sum(channels, axis=1, keepdims=True)
+        recon = raw
+        loss = mag
         if args.gain_refit:
-            recon = refit_recon(channels, tgt)
+            recon, gains = refit_recon(channels, tgt)
+            if args.gain_reg:
+                # amplitude calibration: push the refit gains toward 1
+                # so the RAW decode converges to the refit decode (the
+                # r3 wire codec's raw decode was negative-SNR while the
+                # refit hit 12 dB — gains at the ±10 clip). Only alive
+                # events count: a dead channel's gain is ~0 by the
+                # ridge, and penalizing it would fight selection_floor
+                alive = (
+                    jnp.sum(channels[..., :half] ** 2, axis=-1) > 1e-12
+                )
+                loss = loss + args.gain_reg * jnp.sum(
+                    jnp.where(alive, (gains - 1.0) ** 2, 0.0)
+                ) / jnp.maximum(jnp.sum(alive), 1)
         # relative waveform error on the (covered) first half
         wave = jnp.sum(
             (recon[..., :half] - tgt[..., :half]) ** 2
         ) / jnp.maximum(tgt_e_half, 1e-12)
         # wave_w is a TRACED scalar so the weight can change (or ramp)
         # without recompiling the program over the remote relay
-        loss = mag + wave_w * wave
-        return loss, (recon, wave)
+        loss = loss + wave_w * wave
+        # the decode-time walk hands window k+1 the RAW second half of
+        # this window's decode (stop-grad data for handoff training)
+        raw_tail = jax.lax.stop_gradient(raw[..., half:])
+        return loss, (recon, wave, raw_tail)
 
     @jax.jit
     def train_step(params, opt_state, ema, key, wave_w, clip, lr_mult,
                    f_tgt, tgt, tgt_e_half):
-        (loss, (recon, wave)), grads = jax.value_and_grad(
+        (loss, (recon, wave, raw_tail)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, key, wave_w, f_tgt, tgt, tgt_e_half)
         gnorm = optax.global_norm(grads)
@@ -365,6 +437,21 @@ def main():
         scale = lr_mult * jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, new_opt = opt.update(grads, opt_state, params)
+        if args.trust_ratio:
+            # per-leaf trust ratio: no single step may move a layer by
+            # more than ratio * its own norm — the optimizer-cliff
+            # bound (nan_hunt4: finite grads, gnorm 3e13 at frozen
+            # params; global-norm clipping still lets one layer absorb
+            # the whole clipped budget)
+            updates = jax.tree_util.tree_map(
+                lambda u, p: u * jnp.minimum(
+                    1.0,
+                    args.trust_ratio
+                    * (jnp.linalg.norm(p.ravel()) + 1e-8)
+                    / (jnp.linalg.norm(u.ravel()) + 1e-12),
+                ),
+                updates, params,
+            )
         new_params = optax.apply_updates(params, updates)
         ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         params_out = jax.tree_util.tree_map(
@@ -381,7 +468,7 @@ def main():
                 ema,
                 params_out,
             )
-        return params_out, opt_out, ema, loss, wave, gnorm, ok
+        return params_out, opt_out, ema, loss, wave, gnorm, ok, raw_tail
 
     @jax.jit
     def reconstruct(params, key, f_tgt, tgt):
@@ -391,7 +478,7 @@ def main():
         # scalar we logged — count alive events at each eval
         ev_energy = jnp.sum(channels[..., :half] ** 2, axis=-1)
         raw = jnp.sum(channels, axis=1, keepdims=True)
-        refit = refit_recon(channels, tgt) if args.gain_refit else raw
+        refit = refit_recon(channels, tgt)[0] if args.gain_refit else raw
         if args.align_refine:
             from mptpu.models.siam import refine_event_alignment
 
@@ -422,7 +509,11 @@ def main():
             f"gain_refit {args.gain_refit}, "
             f"align_refine {args.align_refine}, ema {args.ema}, "
             f"audio_events {args.audio_events or 'default(8/sec)'}, "
-            f"stream_windows {n_win}"
+            f"stream_windows {n_win}, "
+            f"residual_handoff {args.residual_handoff}, "
+            f"balance_windows {args.balance_windows}, "
+            f"b2 {args.b2}, trust_ratio {args.trust_ratio}, "
+            f"gain_reg {args.gain_reg}"
         ),
         "eval": [],
         "losses": [],
@@ -433,6 +524,8 @@ def main():
                 prior = json.load(f)
             metrics["eval"] = prior.get("eval", [])
             metrics["losses"] = prior.get("losses", [])
+            if prior.get("walk"):
+                metrics["walk"] = prior["walk"]
         except (IOError, ValueError):
             pass
 
@@ -486,6 +579,10 @@ def main():
             perturb_until = i + 30
             extra = "; perturbing step key for 30 steps"
         last_rb_step = good_step
+        # handoff tails rendered by poisoned params must not feed the
+        # restored model; pristine inputs for one rotation refill them
+        for k in range(len(handoff_tails)):
+            handoff_tails[k] = None
         print(
             f"ROLLBACK #{total_rollbacks} at iter {i} to step {good_step}; "
             f"lr_mult -> {lr_mult:g}{extra}",
@@ -498,6 +595,60 @@ def main():
     ema = params
     perturb_until = start_step  # see rollback(): fixed-noise cliff detour
     last_rb_step = -1
+
+    # --residual-handoff: handoff_tails[k] is the RAW decoded second
+    # half of window k-1's most recent forward (stop-grad device array)
+    # — exactly what the decode-time walk subtracts from window k's
+    # first half (models/siam.py handoff_window_step). One rotation
+    # stale; refilled within n_win steps. Index 0 is never used
+    # (window 0 has no predecessor).
+    handoff_tails: list = [None] * n_win
+
+    def clear_handoff():
+        for k in range(n_win):
+            handoff_tails[k] = None
+
+    def window_inputs(w, i):
+        """(faded_input, wave_target, first-half energy) for window w —
+        residual-handoff form once the curriculum has elapsed."""
+        tail = (
+            handoff_tails[w]
+            if (
+                args.residual_handoff
+                and n_win > 1
+                and w > 0
+                and i >= args.residual_handoff
+            )
+            else None
+        )
+        if tail is None:
+            return faded_targets[w], targets[w], tgt_energy_halves[w]
+        tgt_w = targets[w].at[..., :half].add(-tail)
+        return (
+            tgt_w * fade,
+            tgt_w,
+            jnp.sum(tgt_w[..., :half] ** 2),
+        )
+
+    # composed-walk eval (--walk-eval-every): the deployment metric —
+    # the DEFAULT time-domain residual-handoff walk over the full
+    # segment, scored like scripts/overfit_stream_eval.py (final half
+    # faded, one window of silence padded so the walk tiles past the
+    # end, refit+align applied as the wire codec does)
+    best_walk = -np.inf
+    if args.walk_eval_every:
+        from mptpu.models.siam import make_streaming_fn
+
+        walk_stream = make_streaming_fn(model)
+        walk_target = jnp.asarray(seg).reshape(1, 1, total_len)
+        walk_target = walk_target.at[..., total_len - half:].multiply(
+            jnp.linspace(1.0, 0.0, half) ** 8
+        )
+        walk_padded = jnp.pad(
+            walk_target, ((0, 0), (0, 0), (0, n_samples))
+        )
+        metrics.setdefault("walk", [])
+
     pending = None  # (i, loss, wave, gnorm, ok) of the PREVIOUS step
     for i in range(start_step, args.iterations):
         last_i = i
@@ -514,13 +665,18 @@ def main():
             w = worst_window if r == n_win else r
         else:
             w = i % n_win
-        params, opt_state, ema, loss, wave, gnorm, ok = train_step(
+        f_tgt_w, tgt_w, tgt_e_w = window_inputs(w, i)
+        params, opt_state, ema, loss, wave, gnorm, ok, raw_tail = train_step(
             params, opt_state, ema, step_key,
             jnp.float32(args.waveform_weight),
             jnp.float32(args.grad_clip),
             jnp.float32(lr_mult),
-            faded_targets[w], targets[w], tgt_energy_halves[w],
+            f_tgt_w, tgt_w, tgt_e_w,
         )
+        if args.residual_handoff and n_win > 1 and w + 1 < n_win:
+            # this window's decoded tail is the next window's handoff
+            # input (device array, fetched lazily — no sync here)
+            handoff_tails[w + 1] = raw_tail
         # every-step health check, pipelined: float() the PREVIOUS step's
         # scalars while this step runs on device — a synchronous per-step
         # fetch serializes the remote relay and cost ~4x step time
@@ -654,14 +810,23 @@ def main():
                 )
             if n_win > 1:
                 # per-window first-half SNR: every position the decode
-                # walk visits, scored on ITS window's covered half
+                # walk visits, scored on ITS window's covered half.
+                # Once --residual-handoff is active, windows > 0 are
+                # scored on their RESIDUAL inputs/targets (what the
+                # walk actually hands them); entry["handoff"] marks the
+                # semantics switch in the series
+                handoff_live = bool(
+                    args.residual_handoff and i >= args.residual_handoff
+                )
+                entry["handoff"] = handoff_live
                 wsnrs = [round(s_half, 3)]
                 for wi in range(1, n_win):
+                    wf_tgt, wtgt, _ = window_inputs(wi, i)
                     _, w_recon, _, _, _ = reconstruct(
-                        params, eval_key, faded_targets[wi], targets[wi]
+                        params, eval_key, wf_tgt, wtgt
                     )
                     wsnrs.append(round(float(snr_db(
-                        targets[wi][..., :half], w_recon[..., :half]
+                        wtgt[..., :half], w_recon[..., :half]
                     )), 3))
                 entry["window_snr_db"] = wsnrs
                 worst_window = int(np.argmin(wsnrs))
@@ -686,11 +851,12 @@ def main():
                 if n_win > 1:
                     e_wins = [e_half]
                     for wi in range(1, n_win):
+                        wf_tgt, wtgt, _ = window_inputs(wi, i)
                         _, ew_recon, _, _, _ = reconstruct(
-                            ema, eval_key, faded_targets[wi], targets[wi]
+                            ema, eval_key, wf_tgt, wtgt
                         )
                         e_wins.append(float(snr_db(
-                            targets[wi][..., :half], ew_recon[..., :half]
+                            wtgt[..., :half], ew_recon[..., :half]
                         )))
                     e_sel = sum(e_wins) / len(e_wins)
                     entry["ema_mean_window_snr_db"] = round(e_sel, 3)
@@ -738,21 +904,22 @@ def main():
             metrics["eval"].append(entry)
             print("eval", json.dumps(entry), flush=True)
             write_metrics()
+            # artifact selection: mean over trained windows (same scale
+            # as the EMA path's e_sel). Evaluated OUTSIDE the
+            # window-0-record gate below — a state with a better window
+            # MEAN whose window-0 SNR is not a new record must still be
+            # able to win the artifact (the r3 gating partially
+            # defeated the selection fix; ADVICE r3)
+            s_sel = sum(wsnrs) / len(wsnrs) if n_win > 1 else s_half
+            if s_sel > best_artifact:
+                best_artifact = s_sel
+                write_wav(
+                    os.path.join(args.out, "recon_best.wav"),
+                    np.asarray(recon[0, 0]), 22050,
+                )
             if s_half > best_snr:
                 best_snr = s_half
                 best_eval = (params, opt_state, i)
-                # artifact selection: mean over trained windows (same
-                # scale as the EMA path's e_sel — window-0-only
-                # selection biased artifacts against later windows)
-                s_sel = (
-                    sum(wsnrs) / len(wsnrs) if n_win > 1 else s_half
-                )
-                if s_sel > best_artifact:
-                    best_artifact = s_sel
-                    write_wav(
-                        os.path.join(args.out, "recon_best.wav"),
-                        np.asarray(recon[0, 0]), 22050,
-                    )
             elif (
                 args.eval_regress_db
                 and best_snr > 0.5
@@ -772,6 +939,7 @@ def main():
                     gnorm_hist = []
                     good = best_eval
                     pending = None
+                    clear_handoff()
                     print(
                         f"EVAL-CATASTROPHE restore #{regress_rollbacks} "
                         f"at iter {i}: SNR {s_half:.2f} < best "
@@ -792,6 +960,51 @@ def main():
             if args.target_snr and s_half >= args.target_snr:
                 print(f"target SNR {args.target_snr} dB reached", flush=True)
                 break
+        if (
+            args.walk_eval_every
+            and i % args.walk_eval_every == 0
+            and i > start_step
+        ):
+            # score the EMA when present (it is the shipping artifact),
+            # else the training params
+            walk_params = ema if args.ema else params
+            wkey = noise_key if args.fixed_noise else jax.random.PRNGKey(11)
+            w_raw = walk_stream(
+                walk_params, walk_padded, wkey, fixed_noise=args.fixed_noise
+            )[..., :total_len]
+            w_refit = walk_stream(
+                walk_params, walk_padded, wkey, fixed_noise=args.fixed_noise,
+                refit_gains_against=walk_padded,
+                refit_ridge=args.gain_refit or 1e-3,
+                align_refine=args.align_refine,
+            )[..., :total_len]
+            wentry = {
+                "step": i,
+                "raw_full_snr_db": round(
+                    float(snr_db(walk_target, w_raw)), 3),
+                "refit_full_snr_db": round(
+                    float(snr_db(walk_target, w_refit)), 3),
+                "refit_full_lsd_db": round(
+                    float(lsd_db(walk_target, w_refit, window, step_sz)), 3),
+                "refit_first_half_snr_db": round(float(snr_db(
+                    walk_target[..., :half], w_refit[..., :half])), 3),
+                "refit_second_half_snr_db": round(float(snr_db(
+                    walk_target[..., half:], w_refit[..., half:])), 3),
+                "source": "ema" if args.ema else "params",
+            }
+            metrics["walk"].append(wentry)
+            print("walk", json.dumps(wentry), flush=True)
+            write_metrics()
+            if wentry["refit_full_snr_db"] > best_walk:
+                best_walk = wentry["refit_full_snr_db"]
+                save_checkpoint(
+                    os.path.join(args.out, "walk_best.pkl"),
+                    walk_params, None, i,
+                )
+                write_wav(
+                    os.path.join(args.out, "recon_walk_best.wav"),
+                    np.asarray(w_refit[0, 0]), 22050,
+                )
         ckpt.maybe_save(i, params, opt_state)
         if time.perf_counter() - run_start > args.watchdog_s - 300:
             print("time budget reached — exiting cleanly", flush=True)
@@ -804,12 +1017,21 @@ def main():
         os.path.join(args.out, f"ckpt_{last_i:09d}.pkl"), params, opt_state, last_i
     )
     metrics["best_first_half_snr_db"] = round(float(best_snr), 3)
-    if args.ema:
-        # selection score of the saved artifact: window-0 first-half SNR
-        # for single-window runs, MEAN over trained windows otherwise
+    # selection score of the saved artifact, under a key that names its
+    # semantics (ADVICE r3: reusing best_artifact_first_half_snr_db for
+    # a mean-over-windows score silently changed scale across runs)
+    if n_win > 1:
+        metrics["artifact_selection"] = "mean_window_first_half"
+        metrics["best_artifact_mean_window_snr_db"] = round(
+            float(best_artifact), 3
+        )
+    else:
+        metrics["artifact_selection"] = "window0_first_half"
         metrics["best_artifact_first_half_snr_db"] = round(
             float(best_artifact), 3
         )
+    if args.walk_eval_every and np.isfinite(best_walk):
+        metrics["best_walk_refit_full_snr_db"] = round(float(best_walk), 3)
     if args.align_refine:
         metrics["best_aligned_first_half_snr_db"] = round(
             float(best_aligned), 3

@@ -388,6 +388,78 @@ class TestStreaming:
         err_fit = float(np.sum((np.asarray(tgt) - np.asarray(refit)) ** 2))
         assert err_fit <= err_raw * (1 + 1e-3)
 
+    def test_streaming_handoff_mode_matches_manual_walk(self):
+        """The DEFAULT walk (round 4) is the time-domain residual
+        handoff: window k encodes ``(audio_slice - decoded_so_far) *
+        fade_tail`` with its own transform — the reference's
+        later-windows-see-earlier-removals semantics
+        (``iterativedecomposition.py:275-319``) with the subtraction
+        done where it is exact. Verify against a hand-rolled walk built
+        directly on make_iterative_fn, and that the first window (which
+        has no predecessor) matches pristine mode bit-for-bit."""
+        from mptpu.models.siam import (
+            SIAMModel, fade_tail, make_iterative_fn, make_streaming_fn,
+        )
+
+        n = 2**11
+        model = SIAMModel(
+            n_samples=n, context_dim=8, in_channels=257,
+            hidden_channels=16, n_events=2,
+            transform_window_size=512, transform_step_size=256,
+            fft_resonance=True,
+            # a positive switch bias so the untrained model renders
+            # NONZERO audio — a silent decode would make handoff,
+            # spec, and pristine trivially identical
+            switch_bias_init=1.0, attn_floor=0.1,
+        )
+        total = 2 * n
+        audio = jax.random.normal(jax.random.PRNGKey(5), (1, 1, total)) * 0.1
+        params = model.init(KEY, audio[..., :n], KEY)
+        stream = make_streaming_fn(model)
+        out, vecs, times, events = stream(
+            params, audio, KEY, fixed_noise=True, return_event_vectors=True
+        )
+        assert out.shape == (1, 1, total)
+        assert np.isfinite(np.asarray(out)).all()
+        # hand-rolled reference walk
+        iterative = make_iterative_fn(model)
+        fade = fade_tail(n)
+        half = n // 2
+        decoded = np.zeros((1, 1, total + n), np.float32)
+        manual = np.zeros((1, 1, total + n), np.float32)
+        # same offsets as the jitted walk: frame step n_frames//2 over
+        # the unpadded audio's frames
+        offsets = list(range(0, total - n, half))
+        for s in offsets:
+            win = (
+                jnp.asarray(audio[..., s:s + n])
+                - jnp.asarray(decoded[..., s:s + n])
+            ) * fade
+            ch, _, _, _ = iterative(params, model.transform(win), KEY,
+                                    do_transform=False)
+            r = np.asarray(jnp.sum(ch, axis=1, keepdims=True))
+            decoded[..., s:s + n] += r[0, 0]
+            manual[..., s:s + n] += r[0, 0]
+        # the jitted walk may tile one extra window over the end; the
+        # covered region must agree
+        covered = offsets[-1] + n
+        np.testing.assert_allclose(
+            np.asarray(out)[..., :covered], manual[..., :covered],
+            rtol=1e-5, atol=1e-6,
+        )
+        # window 0 has no predecessor: handoff == pristine there
+        pristine = stream(
+            params, audio, KEY, fixed_noise=True, pristine_windows=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[..., :half], np.asarray(pristine)[..., :half],
+            rtol=1e-5, atol=1e-6,
+        )
+        # with a nonzero decode, later windows MUST differ from pristine
+        assert float(np.sum(
+            (np.asarray(out) - np.asarray(pristine))[..., half:] ** 2
+        )) > 0
+
 
 class TestGAN:
     def test_gan_steps_with_discriminator(self):

@@ -20,6 +20,7 @@ from .filterbank import (
 from .scattering import scattering_transform, MoreCorrectScattering
 from .texture import AudioTextureFeatures, calculate_kurtosis
 from .psychoacoustic import PsychoacousticFeature
+from .distance import pif_distance
 
 __all__ = [
     "gammatone_filter_bank",
@@ -40,4 +41,5 @@ __all__ = [
     "calculate_kurtosis",
     "MoreCorrectScattering",
     "PsychoacousticFeature",
+    "pif_distance",
 ]

@@ -184,6 +184,16 @@ def main():
         return float(jnp.sqrt(jnp.mean(
             (20 * jnp.log10(ts + 1e-8) - 20 * jnp.log10(rs + 1e-8)) ** 2)))
 
+    from mptpu.perceptual import pif_distance
+
+    _pif = jax.jit(pif_distance)
+
+    def pif(t, r):
+        # phase-invariant perceptual distance (lower is better; ~1.0 =
+        # silence) — arbitrates waveform-vs-LSD disagreements like the
+        # r3 refit anomaly (refit improved SNR, degraded LSD)
+        return float(_pif(t, r))
+
     out = {
         "ckpt": ckpt_path,
         "stream_windows": n_win,
@@ -198,6 +208,7 @@ def main():
             snr(target[..., :half], recon_full[..., :half]), 3),
         "streaming_second_half_snr_db": round(
             snr(target[..., half:], recon_full[..., half:]), 3),
+        "streaming_full_pif_dist": round(pif(target, recon_full), 4),
         # reference-literal spec-domain residual write-back
         "spec_full_snr_db": round(snr(target, recon_spec), 3),
         "spec_first_half_snr_db": round(
@@ -208,6 +219,7 @@ def main():
         out["align_refine"] = args.align_refine
         out["refit_full_snr_db"] = round(snr(target, recon_refit), 3)
         out["refit_full_lsd_db"] = round(lsd(target, recon_refit), 3)
+        out["refit_full_pif_dist"] = round(pif(target, recon_refit), 4)
         out["refit_first_half_snr_db"] = round(
             snr(target[..., :half], recon_refit[..., :half]), 3)
         out["refit_second_half_snr_db"] = round(
@@ -215,6 +227,8 @@ def main():
     if recon_pristine is not None:
         out["pristine_full_snr_db"] = round(snr(target, recon_pristine), 3)
         out["pristine_full_lsd_db"] = round(lsd(target, recon_pristine), 3)
+        out["pristine_full_pif_dist"] = round(
+            pif(target, recon_pristine), 4)
         out["pristine_first_half_snr_db"] = round(
             snr(target[..., :half], recon_pristine[..., :half]), 3)
         out["pristine_second_half_snr_db"] = round(

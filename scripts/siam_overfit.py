@@ -58,6 +58,20 @@ def snr_db(target, recon):
     )
 
 
+_pif_dist_jit = None
+
+
+def pif_dist(target, recon):
+    """Phase-invariant perceptual distance (mptpu.perceptual.distance;
+    lower is better, 1.0 ~ silence). Jitted once — eval-cadence cost."""
+    global _pif_dist_jit
+    if _pif_dist_jit is None:
+        from mptpu.perceptual import pif_distance
+
+        _pif_dist_jit = jax.jit(pif_distance)
+    return float(_pif_dist_jit(target, recon))
+
+
 def lsd_db(target, recon, window, step):
     ts = siam_transform(target, window, step)
     rs = siam_transform(recon, window, step)
@@ -787,10 +801,12 @@ def main():
             l_half = float(lsd_db(target[..., :half], recon[..., :half],
                                   window, step_sz))
             s_full = float(snr_db(target, recon))
+            p_half = pif_dist(target[..., :half], recon[..., :half])
             entry = {
                 "step": i,
                 "first_half_snr_db": round(s_half, 3),
                 "first_half_lsd_db": round(l_half, 3),
+                "first_half_pif_dist": round(p_half, 4),
                 "full_snr_db": round(s_full, 3),
                 "sched_max": round(float(sched_max), 4),
                 "alive_events": alive,
@@ -990,6 +1006,8 @@ def main():
                     walk_target[..., :half], w_refit[..., :half])), 3),
                 "refit_second_half_snr_db": round(float(snr_db(
                     walk_target[..., half:], w_refit[..., half:])), 3),
+                "refit_full_pif_dist": round(
+                    pif_dist(walk_target, w_refit), 4),
                 "source": "ema" if args.ema else "params",
             }
             metrics["walk"].append(wentry)

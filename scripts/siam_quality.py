@@ -107,6 +107,29 @@ def main():
                              "values start events audible instead of at the "
                              "silence saddle; 0 = exact reference)")
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--fixed-noise", action="store_true",
+                        help="pin ONE noise key for every forward (train "
+                             "and eval) so the decoder's noise draws are "
+                             "a fixed dictionary instead of a per-step "
+                             "redraw. The reference redraws torch RNG "
+                             "per forward, so its decode is stochastic "
+                             "and the waveform term cannot converge EVEN "
+                             "ON TRAINING DATA (proven by the r3 overfit "
+                             "campaign: positive waveform SNR required "
+                             "--fixed-noise). The r3 generalization run "
+                             "trained stochastic and its holdout "
+                             "waveform SNR pinned at ~0 — this flag "
+                             "tests the train-side-stochasticity "
+                             "hypothesis against the training-amount "
+                             "one (VERDICT r3 missing #1)")
+    parser.add_argument("--b2", type=float, default=0.999,
+                        help="Adam beta2; 0.95 adapts the second moment "
+                             "within ~20 steps — the optimizer-cliff "
+                             "guard from the overfit campaign "
+                             "(nan_hunt4: finite grads, gnorm 3e13)")
+    parser.add_argument("--trust-ratio", type=float, default=0.0,
+                        help="per-leaf update clip: ||update|| <= ratio "
+                             "* ||param|| (0 = off)")
     parser.add_argument("--out", type=str, default="trained_weights/siam_quality")
     parser.add_argument("--watchdog-s", type=int, default=14000)
     parser.add_argument("--stall-s", type=int, default=900,
@@ -203,6 +226,12 @@ def main():
     )))
 
     key = jax.random.PRNGKey(0)
+    # --fixed-noise: one pinned key for every forward; the decoder's
+    # noise draws become a fixed dictionary (see the flag help)
+    noise_key = jax.random.PRNGKey(42)
+
+    def step_key(i):
+        return noise_key if args.fixed_noise else jax.random.fold_in(key, i)
     example = jnp.zeros((args.batch_size, 1, n_samples))
     t0 = time.perf_counter()
     params = jax.jit(model.init)(key, example, key)
@@ -210,7 +239,7 @@ def main():
     init_s = time.perf_counter() - t0
     print(f"init {init_s:.1f}s", flush=True)
 
-    opt = optimizer(lr=args.lr, b1=0.9, b2=0.999)
+    opt = optimizer(lr=args.lr, b1=0.9, b2=args.b2)
     opt_state = opt.init(params)
     ckpt = CheckpointManager(args.out, every=250)
     resume_step = 0
@@ -273,6 +302,19 @@ def main():
         scale = jnp.minimum(1.0, 5e4 / jnp.maximum(gnorm, 1e-12))
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, new_opt = opt.update(grads, opt_state, params)
+        if args.trust_ratio:
+            # no single step may move a layer by more than
+            # trust_ratio * its own norm (optimizer-cliff bound; see
+            # scripts/siam_overfit.py --trust-ratio)
+            updates = jax.tree_util.tree_map(
+                lambda u, p: u * jnp.minimum(
+                    1.0,
+                    args.trust_ratio
+                    * (jnp.linalg.norm(p.ravel()) + 1e-8)
+                    / (jnp.linalg.norm(u.ravel()) + 1e-12),
+                ),
+                updates, params,
+            )
         new_params = optax.apply_updates(params, updates)
         # the reference guards only the loss (iterativedecomposition.py:
         # 535-540); a step with finite loss but NaN GRADS silently
@@ -292,8 +334,10 @@ def main():
         return jnp.sum(channels, axis=1, keepdims=True), jnp.max(schedules)
 
     from mptpu.models.siam import make_streaming_fn
+    from mptpu.perceptual import pif_distance
 
     stream_fn = make_streaming_fn(model)
+    pif_dist_fn = jax.jit(pif_distance)
 
     stream = iter(train_stream)
 
@@ -303,13 +347,13 @@ def main():
     if not args.resume:
         t0 = time.perf_counter()
         item = next(stream)
-        params, opt_state, loss = train_step(params, opt_state, item, key)
+        params, opt_state, loss = train_step(params, opt_state, item, step_key(0))
         first_loss = float(loss)
         compile_s = time.perf_counter() - t0
         print(f"first step (incl compile) {compile_s:.1f}s loss {first_loss:.1f}",
               flush=True)
         params, opt_state, loss = train_step(
-            params, opt_state, next(stream), jax.random.fold_in(key, 1)
+            params, opt_state, next(stream), step_key(1)
         )
         float(loss)
 
@@ -328,6 +372,8 @@ def main():
             f"lr {args.lr:g}, "
             f"corpus {'dense' if args.dense else 'sparse'}, "
             f"fade {'off' if args.no_fade else 'on'}, "
+            f"fixed_noise {args.fixed_noise}, "
+            f"b2 {args.b2:g}, trust_ratio {args.trust_ratio:g}, "
             f"holdout {'disjoint-content' if holdout_path else 'same-corpus crop'}"
         ),
         "init_s": round(init_s, 1),
@@ -356,7 +402,7 @@ def main():
     acc = 0.0
     for i in range(timing_steps):
         params, opt_state, loss = train_step(
-            params, opt_state, next(stream), jax.random.fold_in(key, 100 + i)
+            params, opt_state, next(stream), step_key(100 + i)
         )
         acc += float(loss)  # device->host every step
     if timing_steps:
@@ -371,7 +417,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(timing_steps):
         params, opt_state, loss = train_step(
-            params, opt_state, next(stream), jax.random.fold_in(key, 300 + i)
+            params, opt_state, next(stream), step_key(300 + i)
         )
     if timing_steps:
         acc = float(loss)
@@ -393,7 +439,7 @@ def main():
     for i in range(step0, args.iterations):
         last_i = i
         params, opt_state, loss = train_step(
-            params, opt_state, next(stream), jax.random.fold_in(key, i)
+            params, opt_state, next(stream), step_key(i)
         )
         if i % 25 == 0:
             # progress made — re-arm the stall watchdog (a wedged remote
@@ -409,7 +455,8 @@ def main():
             else:
                 collapse_guard["zero_streak"] = 0
         if i % args.eval_every == 0:
-            recon, sched_max = reconstruct(params, holdout, jax.random.PRNGKey(7))
+            recon, sched_max = reconstruct(params, holdout,
+                noise_key if args.fixed_noise else jax.random.PRNGKey(7))
             snr, lsd = spectral_metrics(holdout, recon, window, step_sz)
             # the encoder's streaming mask confines events to the first
             # half of the segment (full coverage comes from the
@@ -427,13 +474,22 @@ def main():
                 "first_half_snr_db": round(float(snr_h), 3),
                 "first_half_lsd_db": round(float(lsd_h), 3),
                 "recon_rms": round(rms, 6),
+                # phase-invariant perceptual distance (lower is better,
+                # ~1.0 = silence; mptpu.perceptual.pif_distance) — the
+                # reference's framing is PERCEPTUALLY lossless, so the
+                # waveform/LSD pair alone under-reports progress
+                "first_half_pif_dist": round(float(pif_dist_fn(
+                    holdout[..., :half], recon[..., :half])), 4),
                 # direct collapse telemetry: 0.0 == every event silent
                 # (the loss alone can sit at a small negative value from
                 # the mag_epsilon smoothing even when fully collapsed)
                 "sched_max": round(float(sched_max), 6),
             }
             if args.stream_eval_every and i % args.stream_eval_every == 0:
-                s_recon = stream_fn(params, stream_holdout, jax.random.PRNGKey(11))
+                s_key = (noise_key if args.fixed_noise
+                         else jax.random.PRNGKey(11))
+                s_recon = stream_fn(params, stream_holdout, s_key,
+                                  fixed_noise=args.fixed_noise)
                 s_snr, s_lsd = spectral_metrics(
                     stream_holdout, s_recon, window, step_sz
                 )
@@ -443,7 +499,7 @@ def main():
                 # path (models/siam.py refit_event_gains) — score the
                 # walk with it beside the plain greedy amplitudes
                 r_recon = stream_fn(
-                    params, stream_holdout, jax.random.PRNGKey(11),
+                    params, stream_holdout, s_key, fixed_noise=args.fixed_noise,
                     refit_gains_against=stream_holdout,
                 )
                 r_snr, r_lsd = spectral_metrics(
@@ -451,13 +507,15 @@ def main():
                 )
                 entry["streaming_refit_snr_db"] = round(float(r_snr), 3)
                 entry["streaming_refit_lsd_db"] = round(float(r_lsd), 3)
+                entry["streaming_refit_pif_dist"] = round(float(
+                    pif_dist_fn(stream_holdout, r_recon)), 4)
                 # pristine mode encodes each window as the trainer
                 # presents it (standalone fade-tailed slice, own
                 # transform) — on the sw3 overfit checkpoint this
                 # recovered the training numbers through the walk
                 # (5.78 -> 12.00 dB first-half; BENCHMARKS.md)
                 p_recon = stream_fn(
-                    params, stream_holdout, jax.random.PRNGKey(11),
+                    params, stream_holdout, s_key, fixed_noise=args.fixed_noise,
                     refit_gains_against=stream_holdout,
                     pristine_windows=True,
                 )

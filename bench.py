@@ -105,6 +105,12 @@ def main():
     import jax
 
     fallback_cpu = not default_backend_reachable()
+    # re-arm the process watchdog AFTER the probe: worst-case dead-relay
+    # probing consumes ~24 min of the original 50-min budget, which on a
+    # cold .jax_cache could starve the CPU-fallback compile+bench of the
+    # time it needs to emit the judged JSON line (ADVICE r3)
+    faulthandler.cancel_dump_traceback_later()
+    faulthandler.dump_traceback_later(3000, exit=True)
     if fallback_cpu:
         print(
             "default backend unreachable (axon relay down?) — "

@@ -456,16 +456,25 @@ def main():
             # more than ratio * its own norm — the optimizer-cliff
             # bound (nan_hunt4: finite grads, gnorm 3e13 at frozen
             # params; global-norm clipping still lets one layer absorb
-            # the whole clipped budget)
-            updates = jax.tree_util.tree_map(
-                lambda u, p: u * jnp.minimum(
-                    1.0,
-                    args.trust_ratio
-                    * (jnp.linalg.norm(p.ravel()) + 1e-8)
-                    / (jnp.linalg.norm(u.ravel()) + 1e-12),
-                ),
-                updates, params,
-            )
+            # the whole clipped budget). LARS convention for degenerate
+            # leaves: a ZERO-norm param (every bias at init) must pass
+            # its update through unclipped, or it can never move — the
+            # naive p_norm/u_norm form froze all zero-init leaves and
+            # flatlined run sw4's first attempt (sw3 reached 3.5 dB by
+            # step 400; the frozen variant sat at 0.001)
+            def _trust(u, p):
+                un = jnp.linalg.norm(u.ravel())
+                # floor the param norm: a zero/tiny leaf (biases at
+                # init) may still take floor-scaled steps, and its cap
+                # then grows with it (multiplicative <= 1+ratio/step,
+                # ~40 steps from 1e-3 to 1) — a strict pn/un form
+                # froze zero-init leaves forever
+                pn = jnp.maximum(jnp.linalg.norm(p.ravel()), 1e-3)
+                return u * jnp.minimum(
+                    1.0, args.trust_ratio * pn / (un + 1e-12)
+                )
+
+            updates = jax.tree_util.tree_map(_trust, updates, params)
         new_params = optax.apply_updates(params, updates)
         ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         params_out = jax.tree_util.tree_map(

@@ -305,16 +305,22 @@ def main():
         if args.trust_ratio:
             # no single step may move a layer by more than
             # trust_ratio * its own norm (optimizer-cliff bound; see
-            # scripts/siam_overfit.py --trust-ratio)
-            updates = jax.tree_util.tree_map(
-                lambda u, p: u * jnp.minimum(
-                    1.0,
-                    args.trust_ratio
-                    * (jnp.linalg.norm(p.ravel()) + 1e-8)
-                    / (jnp.linalg.norm(u.ravel()) + 1e-12),
-                ),
-                updates, params,
-            )
+            # scripts/siam_overfit.py --trust-ratio). LARS convention:
+            # zero-norm leaves (biases at init) pass through unclipped
+            # — the naive form froze them forever and flatlined a run
+            def _trust(u, p):
+                un = jnp.linalg.norm(u.ravel())
+                # floor the param norm: a zero/tiny leaf (biases at
+                # init) may still take floor-scaled steps, and its cap
+                # then grows with it (multiplicative <= 1+ratio/step,
+                # ~40 steps from 1e-3 to 1) — a strict pn/un form
+                # froze zero-init leaves forever
+                pn = jnp.maximum(jnp.linalg.norm(p.ravel()), 1e-3)
+                return u * jnp.minimum(
+                    1.0, args.trust_ratio * pn / (un + 1e-12)
+                )
+
+            updates = jax.tree_util.tree_map(_trust, updates, params)
         new_params = optax.apply_updates(params, updates)
         # the reference guards only the loss (iterativedecomposition.py:
         # 535-540); a step with finite loss but NaN GRADS silently

@@ -417,6 +417,7 @@ def _pipelined_step_kernel(
     n_items: int,
     gate_tail: bool,
     interpret: bool,
+    ablate: frozenset = frozenset(),
 ):
     """Cross-item software-pipelined variant of ``_step_kernel``.
 
@@ -427,6 +428,17 @@ def _pipelined_step_kernel(
     DMA in flight — hiding the serial DMA latency chain that dominates
     the non-pipelined kernel (~40 us per (item, step) vs the ~12 us HBM
     bound, BENCHMARKS.md).
+
+    ``ablate`` (compile-time, perf-measurement only — numerics are WRONG
+    under any non-empty set) skips named phases so their cost can be
+    measured by difference on real hardware: "argmax" (bm fetch + table
+    argmax + winner refine), "gram" (gram-row fetch), "res" (residual
+    DMA + surgery + boundary-tail recompute), "winvpu" (the window
+    place-roll + subtract), "windma" (window fetch + write-back),
+    "bmm" (block-max maintenance VPU), "gpadzero1" (zero the gram pad
+    region only on the first grid step — an exactness-preserving
+    optimization candidate: the region is rewritten identically every
+    step).
     """
     g = pl.program_id(0)
     N = d2_ref.shape[0]
@@ -452,8 +464,10 @@ def _pipelined_step_kernel(
 
         @pl.when(item >= 2)
         def _():
-            pltpu.make_async_copy(res_scr.at[s], res_out.at[0], sems.at[s, 5]).wait()
-            pltpu.make_async_copy(win_scr.at[s], fm_out.at[0, :, : upd_w], sems.at[s, 6]).wait()
+            if "res" not in ablate:
+                pltpu.make_async_copy(res_scr.at[s], res_out.at[0], sems.at[s, 5]).wait()
+            if "windma" not in ablate:
+                pltpu.make_async_copy(win_scr.at[s], fm_out.at[0, :, : upd_w], sems.at[s, 6]).wait()
 
             # item-2's tail write-back only exists if that item clipped
             # (pend_i[s, 4] still holds ITS flag — overwritten below)
@@ -463,29 +477,36 @@ def _pipelined_step_kernel(
 
             pltpu.make_async_copy(bm_scr.at[s], bm_out.at[0], sems.at[s, 8]).wait()
 
-        bm_dma = pltpu.make_async_copy(
-            bm_hbm.at[item], bm_scr.at[s], sems.at[s, 0]
-        )
-        bm_dma.start()
-        bm_dma.wait()
-        atom, blk, _ = _first_max_2d(bm_scr[s])
+        if "argmax" not in ablate:
+            bm_dma = pltpu.make_async_copy(
+                bm_hbm.at[item], bm_scr.at[s], sems.at[s, 0]
+            )
+            bm_dma.start()
+            bm_dma.wait()
+            atom, blk, _ = _first_max_2d(bm_scr[s])
 
-        refine_dma = pltpu.make_async_copy(
-            fm_hbm.at[item, pl.ds((atom // 8) * 8, 8), pl.ds(blk * block, block)],
-            refine_scr,
-            sems.at[s, 1],
-        )
-        refine_dma.start()
-        refine_dma.wait()
-        row_sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (8, block), 0)
-            == atom - (atom // 8) * 8
-        )
-        seg2 = jnp.where(row_sel, refine_scr[:, :], NEG)
-        value = jnp.max(seg2)
-        ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, block), 1)
-        li = jnp.min(jnp.where(seg2 == value, ids2, jnp.int32(block)))
-        position = blk * block + li - pad
+            refine_dma = pltpu.make_async_copy(
+                fm_hbm.at[item, pl.ds((atom // 8) * 8, 8), pl.ds(blk * block, block)],
+                refine_scr,
+                sems.at[s, 1],
+            )
+            refine_dma.start()
+            refine_dma.wait()
+            row_sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (8, block), 0)
+                == atom - (atom // 8) * 8
+            )
+            seg2 = jnp.where(row_sel, refine_scr[:, :], NEG)
+            value = jnp.max(seg2)
+            ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, block), 1)
+            li = jnp.min(jnp.where(seg2 == value, ids2, jnp.int32(block)))
+            position = blk * block + li - pad
+        else:
+            # perf stand-ins: vary position per item so window offsets
+            # exercise realistic (unaligned, distinct) HBM regions
+            atom = jax.lax.rem(item * 37, jnp.int32(d2_ref.shape[0]))
+            position = jax.lax.rem(item * 997, jnp.int32(n_samples - A))
+            value = jnp.float32(0.01)
 
         ustart = position + pad - (A - 1)
         ws_blk = jnp.minimum(ustart // block, n_blocks - upd_blocks)
@@ -494,22 +515,28 @@ def _pipelined_step_kernel(
         pend_i[s, 1] = position
         pend_i[s, 2] = ws_blk
         pend_i[s, 3] = item
-        pend_i[s, 4] = jnp.where(
-            (position > n_samples - A) if gate_tail else True, 1, 0
-        ).astype(jnp.int32)
+        if "res" not in ablate:
+            pend_i[s, 4] = jnp.where(
+                (position > n_samples - A) if gate_tail else True, 1, 0
+            ).astype(jnp.int32)
+        else:
+            pend_i[s, 4] = jnp.int32(0)
         pend_f[s, 0] = value
 
-        pltpu.make_async_copy(
-            gram_hbm.at[atom], gpad_scr.at[:, : 2 * A], sems.at[s, 2]
-        ).start()
-        pltpu.make_async_copy(
-            res_hbm.at[item], res_scr.at[s], sems.at[s, 3]
-        ).start()
-        pltpu.make_async_copy(
-            fm_hbm.at[item, :, pl.ds(ws_blk * block, upd_w)],
-            win_scr.at[s],
-            sems.at[s, 4],
-        ).start()
+        if "gram" not in ablate:
+            pltpu.make_async_copy(
+                gram_hbm.at[atom], gpad_scr.at[:, : 2 * A], sems.at[s, 2]
+            ).start()
+        if "res" not in ablate:
+            pltpu.make_async_copy(
+                res_hbm.at[item], res_scr.at[s], sems.at[s, 3]
+            ).start()
+        if "windma" not in ablate:
+            pltpu.make_async_copy(
+                fm_hbm.at[item, :, pl.ds(ws_blk * block, upd_w)],
+                win_scr.at[s],
+                sems.at[s, 4],
+            ).start()
 
     # ---- prologue: item 0's light phase runs synchronously
     @pl.when(g == 0)
@@ -524,103 +551,123 @@ def _pipelined_step_kernel(
     ws = ws_blk * block
     ustart = position + pad - (A - 1)
 
-    # residual surgery (identical math to _step_kernel)
-    pltpu.make_async_copy(res_hbm.at[g], res_scr.at[slot], sems.at[slot, 3]).wait()
-    rot = _roll(res_scr[slot], L - position, interpret)
-    rot = jnp.concatenate(
-        [rot[:, :A] - value * d2_ref[pl.ds(atom, 1), :], rot[:, A:]], axis=1
-    )
-    restored = _roll(rot, position, interpret)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    res_scr[slot] = jnp.where(lane < n_samples, restored, 0.0)
-
-    # boundary-tail recompute (Hankel roll ladder + MXU matmul) — only
-    # when this item's event actually clipped the signal end (see
-    # _step_kernel: for interior events the gram subtract is exact
-    # everywhere, tail included)
     clipped = pend_i[slot, 4] == 1
 
-    @pl.when(clipped)
-    def _():
-        t = res_scr[slot, :, n_samples - A :]
-        hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
-        shift = 1
-        while shift < A:
-            rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
-            hank_scr[:, :] = jnp.where(
-                (row_ids & shift) != 0, rolled, hank_scr[:, :]
-            )
-            shift *= 2
-        tail_scr[slot] = jax.lax.dot_general(
-            d2_ref[:, :],
-            hank_scr[:, :A],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    if "res" not in ablate:
+        # residual surgery (identical math to _step_kernel)
+        pltpu.make_async_copy(res_hbm.at[g], res_scr.at[slot], sems.at[slot, 3]).wait()
+        rot = _roll(res_scr[slot], L - position, interpret)
+        rot = jnp.concatenate(
+            [rot[:, :A] - value * d2_ref[pl.ds(atom, 1), :], rot[:, A:]], axis=1
         )
+        restored = _roll(rot, position, interpret)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        res_scr[slot] = jnp.where(lane < n_samples, restored, 0.0)
 
-    pltpu.make_async_copy(res_scr.at[slot], res_out.at[g], sems.at[slot, 5]).start()
+        # boundary-tail recompute (Hankel roll ladder + MXU matmul) — only
+        # when this item's event actually clipped the signal end (see
+        # _step_kernel: for interior events the gram subtract is exact
+        # everywhere, tail included)
+        @pl.when(clipped)
+        def _():
+            t = res_scr[slot, :, n_samples - A :]
+            hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
+            shift = 1
+            while shift < A:
+                rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
+                hank_scr[:, :] = jnp.where(
+                    (row_ids & shift) != 0, rolled, hank_scr[:, :]
+                )
+                shift *= 2
+            tail_scr[slot] = jax.lax.dot_general(
+                d2_ref[:, :],
+                hank_scr[:, :A],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        pltpu.make_async_copy(res_scr.at[slot], res_out.at[g], sems.at[slot, 5]).start()
 
     # gram-slice subtract into the window
-    pltpu.make_async_copy(
-        gram_hbm.at[0], gpad_scr.at[:, : 2 * A], sems.at[slot, 2]
-    ).wait()
-    pltpu.make_async_copy(
-        fm_hbm.at[g, :, : upd_w], win_scr.at[slot], sems.at[slot, 4]
-    ).wait()
-    gpad_scr[:, 2 * A :] = jnp.zeros((N, upd_w - 2 * A), jnp.float32)
-    placed = _roll(gpad_scr[:, :], ustart - ws, interpret)
-    win_scr[slot] = win_scr[slot] - value * placed
+    if "gram" not in ablate:
+        pltpu.make_async_copy(
+            gram_hbm.at[0], gpad_scr.at[:, : 2 * A], sems.at[slot, 2]
+        ).wait()
+    if "windma" not in ablate:
+        pltpu.make_async_copy(
+            fm_hbm.at[g, :, : upd_w], win_scr.at[slot], sems.at[slot, 4]
+        ).wait()
+    if "winvpu" not in ablate:
+        if "gpadzero1" in ablate:
+            # the pad region is rewritten with the same zeros every step —
+            # write it once per kernel launch (candidate optimization;
+            # exact, since only the DMA'd [0, 2A) region changes per step)
+            @pl.when(g == 0)
+            def _():
+                gpad_scr[:, 2 * A :] = jnp.zeros((N, upd_w - 2 * A), jnp.float32)
 
-    for k in range(upd_blocks):
-        for j in range(tail_nblk):
+        else:
+            gpad_scr[:, 2 * A :] = jnp.zeros((N, upd_w - 2 * A), jnp.float32)
+        placed = _roll(gpad_scr[:, :], ustart - ws, interpret)
+        win_scr[slot] = win_scr[slot] - value * placed
 
-            @pl.when(clipped & (ws_blk + k == tail_blk + j))
-            def _(k=k, j=j):
-                win_scr[slot, :, k * block : (k + 1) * block] = tail_scr[
-                    slot, :, j * block : (j + 1) * block
-                ]
+    if "res" not in ablate:
+        for k in range(upd_blocks):
+            for j in range(tail_nblk):
+
+                @pl.when(clipped & (ws_blk + k == tail_blk + j))
+                def _(k=k, j=j):
+                    win_scr[slot, :, k * block : (k + 1) * block] = tail_scr[
+                        slot, :, j * block : (j + 1) * block
+                    ]
 
     # write-backs: where window and tail overlap the spliced window blocks
     # EQUAL the tail bytes, so the two in-flight DMAs cannot disagree
-    pltpu.make_async_copy(
-        win_scr.at[slot], fm_out.at[g, :, pl.ds(ws, upd_w)], sems.at[slot, 6]
-    ).start()
-
-    @pl.when(clipped)
-    def _():
+    if "windma" not in ablate:
         pltpu.make_async_copy(
-            tail_scr.at[slot], fm_out.at[g, :, pl.ds(tail_start, A)], sems.at[slot, 7]
+            win_scr.at[slot], fm_out.at[g, :, pl.ds(ws, upd_w)], sems.at[slot, 6]
         ).start()
 
-    # block-max maintenance into bm_scr[slot], then write the row back
-    wmax = jnp.max(win_scr[slot].reshape(N, upd_blocks, block), axis=-1)
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 1)
-    row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 0)
-    placer = (lane_b == ws_blk + row_k).astype(jnp.float32)
-    wplaced = jax.lax.dot_general(
-        wmax,
-        placer,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
-    in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
-    bm_scr[slot] = jnp.where(in_win, wplaced, bm_scr[slot])
+    if "res" not in ablate:
 
-    @pl.when(clipped)
-    def _():
-        tmax = jnp.max(tail_scr[slot].reshape(N, tail_nblk, block), axis=-1)
-        tplaced = jnp.concatenate(
-            [
-                jnp.zeros((N, tail_blk), jnp.float32),
-                tmax,
-                jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
-            ],
-            axis=1,
+        @pl.when(clipped)
+        def _():
+            pltpu.make_async_copy(
+                tail_scr.at[slot], fm_out.at[g, :, pl.ds(tail_start, A)], sems.at[slot, 7]
+            ).start()
+
+    # block-max maintenance into bm_scr[slot], then write the row back
+    if "bmm" not in ablate:
+        wmax = jnp.max(win_scr[slot].reshape(N, upd_blocks, block), axis=-1)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 1)
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 0)
+        placer = (lane_b == ws_blk + row_k).astype(jnp.float32)
+        wplaced = jax.lax.dot_general(
+            wmax,
+            placer,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
-        bm_scr[slot] = jnp.where(in_tail, tplaced, bm_scr[slot])
+        lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
+        in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
+        bm_scr[slot] = jnp.where(in_win, wplaced, bm_scr[slot])
+
+        if "res" not in ablate:
+
+            @pl.when(clipped)
+            def _():
+                tmax = jnp.max(tail_scr[slot].reshape(N, tail_nblk, block), axis=-1)
+                tplaced = jnp.concatenate(
+                    [
+                        jnp.zeros((N, tail_blk), jnp.float32),
+                        tmax,
+                        jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
+                    ],
+                    axis=1,
+                )
+                in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
+                bm_scr[slot] = jnp.where(in_tail, tplaced, bm_scr[slot])
 
     pltpu.make_async_copy(bm_scr.at[slot], bm_out.at[g], sems.at[slot, 8]).start()
 
@@ -637,8 +684,10 @@ def _pipelined_step_kernel(
     # for clipped items — pend_i[s, 4] tracks which slots started one)
     @pl.when(g == n_items - 1)
     def _():
-        pltpu.make_async_copy(res_scr.at[slot], res_out.at[0], sems.at[slot, 5]).wait()
-        pltpu.make_async_copy(win_scr.at[slot], fm_out.at[0, :, : upd_w], sems.at[slot, 6]).wait()
+        if "res" not in ablate:
+            pltpu.make_async_copy(res_scr.at[slot], res_out.at[0], sems.at[slot, 5]).wait()
+        if "windma" not in ablate:
+            pltpu.make_async_copy(win_scr.at[slot], fm_out.at[0, :, : upd_w], sems.at[slot, 6]).wait()
 
         @pl.when(pend_i[slot, 4] == 1)
         def _():
@@ -648,8 +697,10 @@ def _pipelined_step_kernel(
         if n_items >= 2:
             # item n_items-2's write-backs were never drained by a
             # prefetch (there is no item n_items)
-            pltpu.make_async_copy(res_scr.at[nslot], res_out.at[0], sems.at[nslot, 5]).wait()
-            pltpu.make_async_copy(win_scr.at[nslot], fm_out.at[0, :, : upd_w], sems.at[nslot, 6]).wait()
+            if "res" not in ablate:
+                pltpu.make_async_copy(res_scr.at[nslot], res_out.at[0], sems.at[nslot, 5]).wait()
+            if "windma" not in ablate:
+                pltpu.make_async_copy(win_scr.at[nslot], fm_out.at[0, :, : upd_w], sems.at[nslot, 6]).wait()
 
             @pl.when(pend_i[nslot, 4] == 1)
             def _():
@@ -670,6 +721,7 @@ def _pipelined_step_kernel(
         "tail_start",
         "gate_tail",
         "interpret",
+        "ablate",
     ),
 )
 def pallas_fused_step_pipelined(
@@ -688,9 +740,11 @@ def pallas_fused_step_pipelined(
     tail_start: int,
     gate_tail: bool = True,
     interpret: bool = False,
+    ablate: tuple = (),
 ):
     """Cross-item-pipelined fused greedy step (see ``_pipelined_step_kernel``).
-    Same contract and numerics as :func:`pallas_fused_step`."""
+    Same contract and numerics as :func:`pallas_fused_step` (unless
+    ``ablate`` names phases to skip — perf measurement only)."""
     B, N, W = fm.shape
     A = atom_size
     upd_w = upd_blocks * block
@@ -729,6 +783,7 @@ def pallas_fused_step_pipelined(
         n_items=B,
         gate_tail=gate_tail,
         interpret=interpret,
+        ablate=frozenset(ablate),
     )
 
     fm2, res2, bm2, atom, pos, val = pl.pallas_call(

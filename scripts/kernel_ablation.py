@@ -117,7 +117,10 @@ def main():
                         "whatever (tiny) shape the other flags give")
     p.add_argument(
         "--variants", type=str,
-        default="full,gpadzero1,argmax,gram,res,winvpu,windma,bmm",
+        default="full,gpadzero1,argmax,res,winvpu,windma,bmm",
+        help="comma list; 'gram' is off the default set — its ablated "
+             "program hit a TPU INTERNAL backend error on the first "
+             "on-device run and wedged the relay",
     )
     args = p.parse_args()
     faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
@@ -127,33 +130,44 @@ def main():
         args.batch, args.atoms, args.atom_size, args.n_samples, args.block
     )
 
-    results = {}
-    base_ms = None
-    for name in args.variants.split(","):
+    # Compile every variant first, then measure ROUND-ROBIN and take the
+    # median per variant: the first on-TPU run measured variants
+    # sequentially at reps=1 and the relay's minute-scale drift (+-5 ms)
+    # swamped every phase delta (ablating even the 4.5 MB window DMA
+    # "saved" negative time).
+    names = args.variants.split(",")
+    encodes, compile_s = {}, {}
+    for name in names:
         ablate = () if name == "full" else tuple(sorted(name.split("+")))
-        encode = make_encode(static, args.steps, ablate, args.interpret)
+        encodes[name] = make_encode(static, args.steps, ablate, args.interpret)
         t0 = time.perf_counter()
-        out = encode(*inputs)
-        _ = float(out)  # force full device->host sync (axon defers)
-        compile_s = time.perf_counter() - t0
-        best = float("inf")
-        for _ in range(args.reps):
+        _ = float(encodes[name](*inputs))  # compile + first run (axon defers)
+        compile_s[name] = time.perf_counter() - t0
+        print(f"compiled {name} in {compile_s[name]:.1f}s", flush=True)
+
+    times = {name: [] for name in names}
+    for r in range(args.reps):
+        for name in names:
             t0 = time.perf_counter()
-            out = encode(*inputs)
-            _ = float(out)
-            best = min(best, time.perf_counter() - t0)
-        ms = best * 1e3
-        if name == "full":
-            base_ms = ms
+            _ = float(encodes[name](*inputs))
+            times[name].append(time.perf_counter() - t0)
+        print(f"rep {r}: " + " ".join(
+            f"{n}={times[n][-1] * 1e3:.1f}" for n in names), flush=True)
+
+    results = {}
+    base_ms = float(np.median(times["full"])) * 1e3 if "full" in times else None
+    for name in names:
+        ms = float(np.median(times[name])) * 1e3
         delta = (base_ms - ms) if base_ms is not None else float("nan")
         results[name] = {
             "ms": round(ms, 2),
-            "compile_s": round(compile_s, 1),
+            "ms_all": [round(t * 1e3, 2) for t in times[name]],
+            "compile_s": round(compile_s[name], 1),
             "saved_ms_vs_full": round(delta, 2),
         }
         print(
-            f"{name:>12}: {ms:8.2f} ms/encode"
-            f"  (saves {delta:6.2f} ms vs full; compile {compile_s:.1f}s)",
+            f"{name:>12}: {ms:8.2f} ms/encode median"
+            f"  (saves {delta:6.2f} ms vs full; compile {compile_s[name]:.1f}s)",
             flush=True,
         )
 

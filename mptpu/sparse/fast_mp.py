@@ -38,6 +38,7 @@ from .pallas_mp import PALLAS_AVAILABLE, pallas_boundary_update
 from .pallas_fused_mp import (
     pallas_fused_step,
     pallas_fused_step_pipelined,
+    pallas_fused_encode,
     fused_step_applicable,
 )
 
@@ -65,7 +66,7 @@ def dictionary_gram(d: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=(
         "n_steps", "block", "block_argmax", "use_pallas", "fused",
-        "pipelined", "gate_tail",
+        "pipelined", "gate_tail", "whole_loop", "depth",
     ),
 )
 def sparse_code_fast(
@@ -78,6 +79,8 @@ def sparse_code_fast(
     fused: bool = False,
     pipelined: bool = True,
     gate_tail: bool = True,
+    whole_loop: bool = False,
+    depth: int = 2,
 ) -> SparseCodeResult:
     """Drop-in fast path for ``sparse_code`` (1-channel dictionaries).
 
@@ -160,15 +163,44 @@ def sparse_code_fast(
         step_impl = (
             pallas_fused_step_pipelined if pipelined else pallas_fused_step
         )
-        if pipelined:
-            # the pipelined kernel DMAs bm rows manually, so the lane
-            # count must be a 128 multiple; -3e38 pad lanes never win the
-            # argmax and survive every masked table write
+        whole_loop = whole_loop and batch >= depth + 1 and batch <= 128
+        if pipelined or whole_loop:
+            # these kernels DMA bm rows manually, so the lane count must
+            # be a 128 multiple; -3e38 pad lanes never win the argmax and
+            # survive every masked table write
             nb_pad = ((n_blocks + 127) // 128) * 128
             blockmax0 = jnp.pad(
                 blockmax0,
                 ((0, 0), (0, 0), (0, nb_pad - n_blocks)),
                 constant_values=-3e38,
+            )
+
+        if whole_loop:
+            # whole-encode kernel: the entire greedy loop in ONE
+            # pallas_call with resident VMEM state and a depth-deep
+            # prefetch pipeline (see pallas_fused_mp._whole_loop_kernel)
+            _, _, residual, atom_indices, positions, values = (
+                pallas_fused_encode(
+                    fm0,
+                    blockmax0,
+                    res0,
+                    d2,
+                    gram_p,
+                    n_samples=n_samples,
+                    atom_size=atom_size,
+                    block=block,
+                    pad=pad,
+                    n_blocks=n_blocks,
+                    upd_blocks=upd_blocks,
+                    tail_start=tail_start,
+                    n_steps=n_steps,
+                    depth=depth,
+                    gate_tail=gate_tail,
+                    interpret=interpret,
+                )
+            )
+            return SparseCodeResult(
+                atom_indices, positions, values, residual[:, None, :n_samples]
             )
 
         def fused_scan_step(carry, _):

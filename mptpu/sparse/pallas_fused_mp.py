@@ -831,6 +831,443 @@ def pallas_fused_step_pipelined(
     return fm2, bm2, res2.reshape(B, L), atom[:, 0], pos[:, 0], val[:, 0]
 
 
+def _whole_loop_kernel(
+    # inputs
+    fm_hbm,      # (B, N, W) ANY
+    gram_hbm,    # (N, N, 2A) ANY
+    res_hbm,     # (B, 1, L) ANY
+    bm_hbm,      # (B, N, nb_pad) ANY
+    d2_ref,      # (N, A) VMEM
+    # outputs
+    fm_out,      # aliased fm
+    res_out,     # aliased residual
+    bm_out,      # aliased bm
+    atom_out,    # (n_steps, 1, 128) ANY int32
+    pos_out,     # (n_steps, 1, 128) ANY int32
+    val_out,     # (n_steps, 1, 128) ANY f32
+    # scratch
+    bm_res,      # (B, N, nb_pad) VMEM — RESIDENT block-max tables
+    res_res,     # (B, 1, L) VMEM — RESIDENT residuals
+    refine_scr,  # (8, block) VMEM
+    gpad_scr,    # (S, N, upd_w) VMEM
+    win_scr,     # (S, N, upd_w) VMEM
+    hank_scr,    # (A, 2A) VMEM
+    tail_scr,    # (S, N, A) VMEM
+    ev_atom,     # (n_steps, 1, 128) VMEM int32
+    ev_pos,      # (n_steps, 1, 128) VMEM int32
+    ev_val,      # (n_steps, 1, 128) VMEM f32
+    pend_i,      # (S, 5) SMEM int32: atom, position, ws_blk, item, clipped
+    pend_f,      # (S, 1) SMEM f32: value
+    sems,        # DMA semaphores (S, 3): 0 refine, 1 gram, 2 win_in
+    wsems,       # DMA semaphores (S, 2): 0 win_out, 1 tail_out
+    gsems,       # DMA semaphores (4,): resident load/store + event store
+    *,
+    n_samples: int,
+    atom_size: int,
+    block: int,
+    pad: int,
+    n_blocks: int,
+    upd_blocks: int,
+    tail_start: int,
+    n_steps: int,
+    n_items: int,
+    depth: int,
+    gate_tail: bool,
+    interpret: bool,
+):
+    """Whole-encode fused kernel: ``grid = (n_steps, n_items)`` runs the
+    entire greedy loop in ONE ``pallas_call``.
+
+    vs. :func:`pallas_fused_step_pipelined` (one call per scan step):
+
+    - the block-max tables and residuals are **resident in VMEM** for the
+      whole encode (loaded once, stored once) — the per-(item, step) bm
+      round-trip + residual round-trip (~0.8 MB at the judged config) and,
+      more importantly, their two *serial DMA waits* per item disappear
+      from the critical path;
+    - prefetch depth ``depth`` (vs. 1): item g+depth's fetches are
+      launched ``depth`` heavy-phases before consumption. The round-4
+      phase ablation (trained_weights/kernel_ablation.json) showed the
+      window fetch+write-back costing 26% of the encode *at near-peak
+      HBM bandwidth* — the transfer itself was never hidden, because the
+      depth-1 pipeline waits on a fetch it launched one phase earlier;
+    - event outputs accumulate in VMEM and store once at the end.
+
+    Cross-step hazards are spaced by construction: item b's state at step
+    s+1 depends on its step-s update, which is ``n_items`` grid steps
+    earlier — any prefetch depth < n_items - 1 is safe. Iteration order
+    (items fastest) makes selections bit-identical to the per-step scan.
+    """
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+    B = n_items
+    g = s * B + b
+    total = n_steps * B
+    S = depth + 1
+    N = d2_ref.shape[0]
+    A = atom_size
+    L = n_samples + A
+    upd_w = upd_blocks * block
+    tail_blk = tail_start // block
+    tail_nblk = A // block
+    NEG = jnp.float32(-3e38)
+    nb_pad = bm_hbm.shape[-1]
+
+    def prefetch(i, slot):
+        """Light phase for linear index ``i``: argmax on the RESIDENT
+        table + winner refine, then launch the gram/window fetches."""
+        item = jax.lax.rem(i, B)
+
+        @pl.when(i >= S)
+        def _():
+            # slot's previous owner (linear i - S): drain its write-backs
+            pltpu.make_async_copy(
+                win_scr.at[slot], fm_out.at[0, :, :upd_w], wsems.at[slot, 0]
+            ).wait()
+
+            @pl.when(pend_i[slot, 4] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    tail_scr.at[slot], fm_out.at[0, :, :A], wsems.at[slot, 1]
+                ).wait()
+
+        atom, blk, _ = _first_max_2d(bm_res[item])
+
+        # NOTE: all fm reads go through fm_OUT — the same HBM buffer as
+        # fm_hbm on TPU (input_output_aliases), but in interpret mode the
+        # in/out refs are distinct buffers and this kernel (unlike the
+        # per-step kernels, where items never read their own call's
+        # writes) must see its own earlier steps' write-backs
+        refine_dma = pltpu.make_async_copy(
+            fm_out.at[item, pl.ds((atom // 8) * 8, 8), pl.ds(blk * block, block)],
+            refine_scr,
+            sems.at[slot, 0],
+        )
+        refine_dma.start()
+        refine_dma.wait()
+        row_sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, block), 0)
+            == atom - (atom // 8) * 8
+        )
+        seg2 = jnp.where(row_sel, refine_scr[:, :], NEG)
+        value = jnp.max(seg2)
+        ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, block), 1)
+        li = jnp.min(jnp.where(seg2 == value, ids2, jnp.int32(block)))
+        position = blk * block + li - pad
+
+        ustart = position + pad - (A - 1)
+        ws_blk = jnp.minimum(ustart // block, n_blocks - upd_blocks)
+
+        pend_i[slot, 0] = atom
+        pend_i[slot, 1] = position
+        pend_i[slot, 2] = ws_blk
+        pend_i[slot, 3] = item
+        pend_i[slot, 4] = jnp.where(
+            (position > n_samples - A) if gate_tail else True, 1, 0
+        ).astype(jnp.int32)
+        pend_f[slot, 0] = value
+
+        pltpu.make_async_copy(
+            gram_hbm.at[atom], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 1]
+        ).start()
+        pltpu.make_async_copy(
+            fm_out.at[item, :, pl.ds(ws_blk * block, upd_w)],
+            win_scr.at[slot],
+            sems.at[slot, 2],
+        ).start()
+
+    # ---- prologue: load resident state, then fill the pipeline
+    @pl.when(g == 0)
+    def _():
+        bm_load = pltpu.make_async_copy(bm_hbm, bm_res, gsems.at[0])
+        bm_load.start()
+        res_load = pltpu.make_async_copy(res_hbm, res_res, gsems.at[1])
+        res_load.start()
+        bm_load.wait()
+        res_load.wait()
+        for i in range(depth):
+            prefetch(jnp.int32(i), jnp.int32(i % S))
+
+    # ---- heavy phase for linear g (slot g % S) ----
+    slot = jax.lax.rem(g, S)
+    atom = pend_i[slot, 0]
+    position = pend_i[slot, 1]
+    ws_blk = pend_i[slot, 2]
+    item = pend_i[slot, 3]
+    clipped = pend_i[slot, 4] == 1
+    value = pend_f[slot, 0]
+    ws = ws_blk * block
+    ustart = position + pad - (A - 1)
+
+    # residual surgery on the RESIDENT row (no DMA)
+    rot = _roll(res_res[item], L - position, interpret)
+    rot = jnp.concatenate(
+        [rot[:, :A] - value * d2_ref[pl.ds(atom, 1), :], rot[:, A:]], axis=1
+    )
+    restored = _roll(rot, position, interpret)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    res_res[item] = jnp.where(lane < n_samples, restored, 0.0)
+
+    # boundary-tail recompute (Hankel roll ladder + MXU matmul), gated
+    @pl.when(clipped)
+    def _():
+        t = res_res[item, :, n_samples - A :]
+        hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
+        shift = 1
+        while shift < A:
+            rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
+            hank_scr[:, :] = jnp.where(
+                (row_ids & shift) != 0, rolled, hank_scr[:, :]
+            )
+            shift *= 2
+        tail_scr[slot] = jax.lax.dot_general(
+            d2_ref[:, :],
+            hank_scr[:, :A],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # gram-slice subtract into the window
+    pltpu.make_async_copy(
+        gram_hbm.at[0], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 1]
+    ).wait()
+    pltpu.make_async_copy(
+        fm_out.at[0, :, :upd_w], win_scr.at[slot], sems.at[slot, 2]
+    ).wait()
+    gpad_scr[slot, :, 2 * A :] = jnp.zeros((N, upd_w - 2 * A), jnp.float32)
+    placed = _roll(gpad_scr[slot], ustart - ws, interpret)
+    win_scr[slot] = win_scr[slot] - value * placed
+
+    for k in range(upd_blocks):
+        for j in range(tail_nblk):
+
+            @pl.when(clipped & (ws_blk + k == tail_blk + j))
+            def _(k=k, j=j):
+                win_scr[slot, :, k * block : (k + 1) * block] = tail_scr[
+                    slot, :, j * block : (j + 1) * block
+                ]
+
+    # write-backs (waited when the slot is next reused, or at epilogue)
+    pltpu.make_async_copy(
+        win_scr.at[slot], fm_out.at[item, :, pl.ds(ws, upd_w)], wsems.at[slot, 0]
+    ).start()
+
+    @pl.when(clipped)
+    def _():
+        pltpu.make_async_copy(
+            tail_scr.at[slot], fm_out.at[item, :, pl.ds(tail_start, A)],
+            wsems.at[slot, 1],
+        ).start()
+
+    # block-max maintenance directly on the RESIDENT table
+    wmax = jnp.max(win_scr[slot].reshape(N, upd_blocks, block), axis=-1)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 1)
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 0)
+    placer = (lane_b == ws_blk + row_k).astype(jnp.float32)
+    wplaced = jax.lax.dot_general(
+        wmax,
+        placer,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
+    in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
+    bm_res[item] = jnp.where(in_win, wplaced, bm_res[item])
+
+    @pl.when(clipped)
+    def _():
+        tmax = jnp.max(tail_scr[slot].reshape(N, tail_nblk, block), axis=-1)
+        tplaced = jnp.concatenate(
+            [
+                jnp.zeros((N, tail_blk), jnp.float32),
+                tmax,
+                jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
+            ],
+            axis=1,
+        )
+        in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
+        bm_res[item] = jnp.where(in_tail, tplaced, bm_res[item])
+
+    # events: masked row write at (step s, lane b)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    hit = lane128 == b
+    ev_atom[s] = jnp.where(hit, atom, ev_atom[s])
+    ev_pos[s] = jnp.where(hit, position, ev_pos[s])
+    ev_val[s] = jnp.where(hit, value, ev_val[s])
+
+    # ---- steady-state prefetch
+    @pl.when(g + depth < total)
+    def _():
+        prefetch(g + depth, jax.lax.rem(g + depth, S))
+
+    # ---- epilogue: drain every slot's write-backs, store resident state
+    @pl.when(g == total - 1)
+    def _():
+        for sl in range(S):
+            pltpu.make_async_copy(
+                win_scr.at[sl], fm_out.at[0, :, :upd_w], wsems.at[sl, 0]
+            ).wait()
+
+            @pl.when(pend_i[sl, 4] == 1)
+            def _(sl=sl):
+                pltpu.make_async_copy(
+                    tail_scr.at[sl], fm_out.at[0, :, :A], wsems.at[sl, 1]
+                ).wait()
+
+        bm_store = pltpu.make_async_copy(bm_res, bm_out, gsems.at[0])
+        bm_store.start()
+        res_store = pltpu.make_async_copy(res_res, res_out, gsems.at[1])
+        res_store.start()
+        ev_dmas = [
+            pltpu.make_async_copy(ev_atom, atom_out, gsems.at[2]),
+            pltpu.make_async_copy(ev_pos, pos_out, gsems.at[3]),
+        ]
+        for dma in ev_dmas:
+            dma.start()
+        bm_store.wait()
+        res_store.wait()
+        for dma in ev_dmas:
+            dma.wait()
+        val_dma = pltpu.make_async_copy(ev_val, val_out, gsems.at[2])
+        val_dma.start()
+        val_dma.wait()
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_samples",
+        "atom_size",
+        "block",
+        "pad",
+        "n_blocks",
+        "upd_blocks",
+        "tail_start",
+        "n_steps",
+        "depth",
+        "gate_tail",
+        "interpret",
+    ),
+)
+def pallas_fused_encode(
+    fm: jax.Array,
+    bm: jax.Array,
+    residual: jax.Array,
+    d2: jax.Array,
+    gram: jax.Array,
+    *,
+    n_samples: int,
+    atom_size: int,
+    block: int,
+    pad: int,
+    n_blocks: int,
+    upd_blocks: int,
+    tail_start: int,
+    n_steps: int,
+    depth: int = 2,
+    gate_tail: bool = True,
+    interpret: bool = False,
+):
+    """Whole-encode fused greedy MP (see ``_whole_loop_kernel``). Returns
+    (fm, bm, residual, atoms (n_steps, B), positions, values) — the same
+    stacked layout a ``lax.scan`` over per-step kernels produces."""
+    B, N, W = fm.shape
+    A = atom_size
+    upd_w = upd_blocks * block
+    L = n_samples + A
+    res3 = residual.reshape(B, 1, L)
+    nb_pad = bm.shape[-1]
+    S = depth + 1
+    assert nb_pad % 128 == 0, "whole-loop kernel needs a lane-padded bm"
+    assert B >= S, "prefetch depth must be < n_items"
+    assert B <= 128, "event rows are single 128-lane vectors"
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # fm
+        pl.BlockSpec(memory_space=pl.ANY),  # gram
+        pl.BlockSpec(memory_space=pl.ANY),  # residual
+        pl.BlockSpec(memory_space=pl.ANY),  # bm
+        pl.BlockSpec((N, A), lambda s, b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # fm (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),  # residual (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),  # bm (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),  # atoms
+        pl.BlockSpec(memory_space=pl.ANY),  # positions
+        pl.BlockSpec(memory_space=pl.ANY),  # values
+    ]
+
+    kernel = partial(
+        _whole_loop_kernel,
+        n_samples=n_samples,
+        atom_size=A,
+        block=block,
+        pad=pad,
+        n_blocks=n_blocks,
+        upd_blocks=upd_blocks,
+        tail_start=tail_start,
+        n_steps=n_steps,
+        n_items=B,
+        depth=depth,
+        gate_tail=gate_tail,
+        interpret=interpret,
+    )
+
+    fm2, res2, bm2, atom, pos, val = pl.pallas_call(
+        kernel,
+        grid=(n_steps, B),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct(fm.shape, fm.dtype),
+            jax.ShapeDtypeStruct(res3.shape, res3.dtype),
+            jax.ShapeDtypeStruct(bm.shape, bm.dtype),
+            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, N, nb_pad), jnp.float32),   # bm_res
+            pltpu.VMEM((B, 1, L), jnp.float32),        # res_res
+            pltpu.VMEM((8, block), jnp.float32),       # refine
+            pltpu.VMEM((S, N, upd_w), jnp.float32),    # gpad
+            pltpu.VMEM((S, N, upd_w), jnp.float32),    # win
+            pltpu.VMEM((A, 2 * A), jnp.float32),       # hank
+            pltpu.VMEM((S, N, A), jnp.float32),        # tail
+            pltpu.VMEM((n_steps, 1, 128), jnp.int32),   # ev_atom
+            pltpu.VMEM((n_steps, 1, 128), jnp.int32),   # ev_pos
+            pltpu.VMEM((n_steps, 1, 128), jnp.float32), # ev_val
+            pltpu.SMEM((S, 5), jnp.int32),
+            pltpu.SMEM((S, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((S, 3)),
+            pltpu.SemaphoreType.DMA((S, 2)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        input_output_aliases={0: 0, 2: 1, 3: 2},
+        interpret=interpret,
+        compiler_params=(
+            # resident bm (B*N*nb_pad) + residuals + S-deep window/gram
+            # slots total ~35 MB at the judged config — well under the
+            # v5e's 128 MB VMEM but past the 16 MB default scoped limit
+            pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+            )
+            if not interpret and PALLAS_AVAILABLE
+            else None
+        ),
+    )(fm, gram, res3, bm, d2)
+    return (
+        fm2,
+        bm2,
+        res2.reshape(B, L),
+        atom[:, 0, :B],
+        pos[:, 0, :B],
+        val[:, 0, :B],
+    )
+
+
 def fused_step_applicable(
     n_samples: int, atom_size: int, block: int, pad: int, n_atoms: int
 ) -> bool:

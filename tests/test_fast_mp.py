@@ -197,3 +197,50 @@ def test_gated_tail_recompute_parity():
             atol=1e-6,
             rtol=1e-5,
         )
+
+
+def test_whole_loop_encode_matches_per_step_scan():
+    """The whole-encode kernel (grid (n_steps, B), resident VMEM block-max
+    tables + residuals, depth-2 prefetch — pallas_fused_mp.
+    _whole_loop_kernel) must be bit-identical to the per-step pipelined
+    scan, including boundary-clipped events (tail write-backs in flight
+    across slot reuse) and the minimum batch (B == depth + 1).
+
+    Signals are PLANTED atom sums with decisive, well-separated maxima
+    (iid noise makes cross-engine bit-parity depend on argmax near-ties,
+    which flip with last-ulp differences between the two separately
+    compiled programs' initial correlations)."""
+    d = jnp.asarray(RNG.standard_normal((16, 128)).astype(np.float32))
+    du = np.asarray(unit_norm(d))
+
+    def planted(batch):
+        sig = np.zeros((batch, 1, 1024), np.float32)
+        for i in range(batch):
+            for k in range(8):
+                pos = (37 + 211 * (i + 1) * (k + 1)) % 896
+                sig[i, 0, pos : pos + 128] += du[(3 * i + k) % 16] * (
+                    5.0 * 0.8**k
+                )
+            # one clipped plant so the tail branch fires
+            sig[i, 0, -64:] += du[(7 * i) % 16, :64] * 4.0
+        return jnp.asarray(sig)
+
+    for batch in (3, 4, 5):
+        sigj = planted(batch)
+        a = sparse_code_fast(
+            sigj, d, n_steps=9, block=128, fused=True, pipelined=True
+        )
+        b = sparse_code_fast(
+            sigj, d, n_steps=9, block=128, fused=True, whole_loop=True
+        )
+        _assert_same_events(a, b)
+        np.testing.assert_array_equal(
+            np.asarray(a.residual), np.asarray(b.residual)
+        )
+    # batch below depth+1 falls back to the per-step scan (still correct)
+    sig1 = planted(2)
+    a = sparse_code_fast(sig1, d, n_steps=7, block=128, fused=True)
+    b = sparse_code_fast(
+        sig1, d, n_steps=7, block=128, fused=True, whole_loop=True
+    )
+    _assert_same_events(a, b)

@@ -145,14 +145,17 @@ def main():
     d = jnp.asarray(d_np)
     sig = jnp.asarray(sig_np)
 
-    # the fully-fused Pallas step kernel (mptpu/sparse/pallas_fused_mp.py),
-    # cross-item DMA-pipelined by default; if the pipelined variant is
-    # rejected by the compiler on this toolchain, fall back to the
-    # (equally exact) non-pipelined kernel rather than failing the bench
-    def make_coder(pipelined):
+    # the fully-fused Pallas kernels (mptpu/sparse/pallas_fused_mp.py).
+    # Preference order: whole-encode kernel (ONE pallas_call for the full
+    # greedy loop — resident VMEM block-max/residual state, depth-2
+    # prefetch; round-4 measured ~25-30% over the per-step pipelined
+    # scan) -> per-step pipelined -> per-step. All bit-exact to each
+    # other; fall back on compiler rejection rather than failing the bench
+    def make_coder(pipelined, whole_loop=False):
         return jax.jit(
             lambda s, d: sparse_code_fast(
-                s, d, n_steps=n_steps, fused=True, pipelined=pipelined
+                s, d, n_steps=n_steps, fused=True, pipelined=pipelined,
+                whole_loop=whole_loop,
             )
         )
 
@@ -177,18 +180,26 @@ def main():
         # gate_tail defaults on in sparse_code_fast: the boundary-tail
         # recompute (Hankel ladder + MXU matmul) only runs for events
         # that actually clip the signal end
-        kernel = "fused_pipelined_gated"
-        coder = make_coder(True)
+        kernel = "fused_whole_loop_gated"
+        coder = make_coder(True, whole_loop=True)
         t0 = time.perf_counter()
         try:
             float(coder(sig, d).values.sum())
         except Exception as e:
-            print(f"pipelined kernel unavailable ({type(e).__name__}); "
+            print(f"whole-loop kernel unavailable ({type(e).__name__}); "
                   "falling back", file=sys.stderr)
-            kernel = "fused_gated"
-            coder = make_coder(False)
+            kernel = "fused_pipelined_gated"
+            coder = make_coder(True)
             t0 = time.perf_counter()
-            float(coder(sig, d).values.sum())
+            try:
+                float(coder(sig, d).values.sum())
+            except Exception as e2:
+                print(f"pipelined kernel unavailable ({type(e2).__name__}); "
+                      "falling back", file=sys.stderr)
+                kernel = "fused_gated"
+                coder = make_coder(False)
+                t0 = time.perf_counter()
+                float(coder(sig, d).values.sum())
     compile_s = time.perf_counter() - t0
     float(coder(sig, d).values.sum())
     # timed runs

@@ -136,6 +136,11 @@ def main():
                         help="re-armed per-progress watchdog: if no step "
                              "completes for this long (device wedge), dump "
                              "tracebacks and exit instead of hanging")
+    parser.add_argument("--medium", action="store_true",
+                        help="2^15/16-event scale (the r3 overfit "
+                             "campaign's capacity-matched config) — "
+                             "cheap enough per step to run a reference-"
+                             "analogous number of steps on one chip")
     parser.add_argument("--tiny", action="store_true",
                         help="small config for smoke testing the script flow")
     parser.add_argument("--resume", action="store_true",
@@ -163,6 +168,16 @@ def main():
     if args.tiny:
         n_samples, n_events, hidden, context_dim = 2**13, 4, 32, 16
         window, step_sz = 512, 256
+    elif args.medium:
+        # the r3 overfit campaign's capacity-matched scale (15.15 dB
+        # single-segment proof): ~8x cheaper per step than full, so a
+        # reference-analogous training AMOUNT (tens of thousands of
+        # steps — v3blogpost.py:59,93 is ~126k) fits a chip-evening.
+        # Purpose: test the round-3 "training-amount" hypothesis for the
+        # ~0 dB holdout waveform SNR at a scale where the step budget
+        # exists (VERDICT r3 next-round item 2)
+        n_samples, n_events, hidden, context_dim = 2**15, 16, 64, 32
+        window, step_sz = 2048, 256
     else:
         # full reference hyperparams (iterativedecomposition.py:25-42)
         n_samples, n_events, hidden, context_dim = 2**17, 32, 128, 32

@@ -1,6 +1,8 @@
-"""A/B the pipelined fused MP kernel vs the round-2 kernel on the judged
-config (512x512 dict, 16k samples, 100 steps, batch 32). Run in the
-background to completion (never under `timeout`)."""
+"""A/B the fused MP kernel generations on the judged config (512x512
+dict, 16k samples, 100 steps, batch 32): round-2 per-step, round-3
+pipelined/gated, round-4 whole-encode (resident VMEM state) at prefetch
+depths 2 and 3. Run in the background to completion (never under
+`timeout`)."""
 
 import faulthandler
 import os
@@ -46,15 +48,19 @@ print(f"signal: {signal_kind}", flush=True)
 
 results = {}
 VARIANTS = (
-    ("original", False, False),
-    ("pipelined", True, False),
-    ("gated", False, True),
-    ("gated-pipelined", True, True),
+    # (name, pipelined, gate_tail, whole_loop, depth)
+    ("original", False, False, False, 2),
+    ("pipelined", True, False, False, 2),
+    ("gated", False, True, False, 2),
+    ("gated-pipelined", True, True, False, 2),
+    ("whole-loop", True, True, True, 2),
+    ("whole-loop-d3", True, True, True, 3),
 )
-for name, pipelined, gate in VARIANTS:
+for name, pipelined, gate, whole, depth in VARIANTS:
     coder = jax.jit(
-        lambda s, dd, p=pipelined, g=gate: sparse_code_fast(
-            s, dd, n_steps=n_steps, fused=True, pipelined=p, gate_tail=g
+        lambda s, dd, p=pipelined, g=gate, w=whole, dp=depth: sparse_code_fast(
+            s, dd, n_steps=n_steps, fused=True, pipelined=p, gate_tail=g,
+            whole_loop=w, depth=dp,
         )
     )
     t0 = time.perf_counter()
@@ -84,7 +90,7 @@ print(
     "(the gated variants skip the tail recompute for the rest)",
     flush=True,
 )
-for name, _, _ in VARIANTS[1:]:
+for name, *_ in VARIANTS[1:]:
     b = results[name]
     same = (
         np.array_equal(np.asarray(a.atom_indices), np.asarray(b.atom_indices))

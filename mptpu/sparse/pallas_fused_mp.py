@@ -983,6 +983,15 @@ def _whole_loop_kernel(
         bm_load.start()
         res_load = pltpu.make_async_copy(res_hbm, res_res, gsems.at[1])
         res_load.start()
+        # the gram rows DMA into lanes [0, 2A) only; the [2A, upd_w) pad
+        # that the placement roll reads is zeroed ONCE here instead of
+        # every step (the per-step rewrite was measured exactness-
+        # preserving and ~free, kernel_ablation.json 'gpadzero1' — kept
+        # for the code-size win, not speed)
+        for sl in range(S):
+            gpad_scr[sl, :, 2 * A :] = jnp.zeros(
+                (N, upd_w - 2 * A), jnp.float32
+            )
         bm_load.wait()
         res_load.wait()
         for i in range(depth):
@@ -1035,7 +1044,6 @@ def _whole_loop_kernel(
     pltpu.make_async_copy(
         fm_out.at[0, :, :upd_w], win_scr.at[slot], sems.at[slot, 2]
     ).wait()
-    gpad_scr[slot, :, 2 * A :] = jnp.zeros((N, upd_w - 2 * A), jnp.float32)
     placed = _roll(gpad_scr[slot], ustart - ws, interpret)
     win_scr[slot] = win_scr[slot] - value * placed
 

@@ -46,7 +46,7 @@ from mptpu.losses import iterative_loss
 from mptpu.models.siam import (
     SIAMModel, fade_tail, make_iterative_fn, siam_transform,
 )
-from mptpu.train import optimizer, CheckpointManager
+from mptpu.train import optimizer, trust_ratio_clip, CheckpointManager
 from mptpu.train.checkpoint import save_checkpoint
 from mptpu.utils.wav import write_wav
 
@@ -350,6 +350,8 @@ def main():
     key = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(key, target, key)
     opt = optimizer(lr=args.lr, b1=0.9, b2=args.b2)
+    trust_clip = trust_ratio_clip(args.trust_ratio) if args.trust_ratio else None
+    trust_state = optax.EmptyState()
     opt_state = opt.init(params)
     ckpt = CheckpointManager(args.out, every=250)
     start_step = 0
@@ -452,29 +454,11 @@ def main():
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, new_opt = opt.update(grads, opt_state, params)
         if args.trust_ratio:
-            # per-leaf trust ratio: no single step may move a layer by
-            # more than ratio * its own norm — the optimizer-cliff
-            # bound (nan_hunt4: finite grads, gnorm 3e13 at frozen
-            # params; global-norm clipping still lets one layer absorb
-            # the whole clipped budget). LARS convention for degenerate
-            # leaves: a ZERO-norm param (every bias at init) must pass
-            # its update through unclipped, or it can never move — the
-            # naive p_norm/u_norm form froze all zero-init leaves and
-            # flatlined run sw4's first attempt (sw3 reached 3.5 dB by
-            # step 400; the frozen variant sat at 0.001)
-            def _trust(u, p):
-                un = jnp.linalg.norm(u.ravel())
-                # floor the param norm: a zero/tiny leaf (biases at
-                # init) may still take floor-scaled steps, and its cap
-                # then grows with it (multiplicative <= 1+ratio/step,
-                # ~40 steps from 1e-3 to 1) — a strict pn/un form
-                # froze zero-init leaves forever
-                pn = jnp.maximum(jnp.linalg.norm(p.ravel()), 1e-3)
-                return u * jnp.minimum(
-                    1.0, args.trust_ratio * pn / (un + 1e-12)
-                )
-
-            updates = jax.tree_util.tree_map(_trust, updates, params)
+            # per-leaf optimizer-cliff bound (nan_hunt4: finite grads,
+            # gnorm 3e13 at frozen params; global-norm clipping still
+            # lets one layer absorb the whole clipped budget) — see
+            # mptpu.train.trust_ratio_clip for the full anatomy
+            updates, _ = trust_clip.update(updates, trust_state, params)
         new_params = optax.apply_updates(params, updates)
         ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         params_out = jax.tree_util.tree_map(

@@ -45,7 +45,7 @@ from mptpu.models.siam import (
     make_iterative_fn,
     siam_transform,
 )
-from mptpu.train import optimizer, CheckpointManager
+from mptpu.train import optimizer, trust_ratio_clip, CheckpointManager
 
 
 def spectral_metrics(target: jax.Array, recon: jax.Array, window: int, step: int):
@@ -255,6 +255,8 @@ def main():
     print(f"init {init_s:.1f}s", flush=True)
 
     opt = optimizer(lr=args.lr, b1=0.9, b2=args.b2)
+    trust_clip = trust_ratio_clip(args.trust_ratio) if args.trust_ratio else None
+    trust_state = optax.EmptyState()
     opt_state = opt.init(params)
     ckpt = CheckpointManager(args.out, every=250)
     resume_step = 0
@@ -318,24 +320,9 @@ def main():
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, new_opt = opt.update(grads, opt_state, params)
         if args.trust_ratio:
-            # no single step may move a layer by more than
-            # trust_ratio * its own norm (optimizer-cliff bound; see
-            # scripts/siam_overfit.py --trust-ratio). LARS convention:
-            # zero-norm leaves (biases at init) pass through unclipped
-            # — the naive form froze them forever and flatlined a run
-            def _trust(u, p):
-                un = jnp.linalg.norm(u.ravel())
-                # floor the param norm: a zero/tiny leaf (biases at
-                # init) may still take floor-scaled steps, and its cap
-                # then grows with it (multiplicative <= 1+ratio/step,
-                # ~40 steps from 1e-3 to 1) — a strict pn/un form
-                # froze zero-init leaves forever
-                pn = jnp.maximum(jnp.linalg.norm(p.ravel()), 1e-3)
-                return u * jnp.minimum(
-                    1.0, args.trust_ratio * pn / (un + 1e-12)
-                )
-
-            updates = jax.tree_util.tree_map(_trust, updates, params)
+            # per-leaf optimizer-cliff bound — see
+            # mptpu.train.trust_ratio_clip for the full anatomy
+            updates, _ = trust_clip.update(updates, trust_state, params)
         new_params = optax.apply_updates(params, updates)
         # the reference guards only the loss (iterativedecomposition.py:
         # 535-540); a step with finite loss but NaN GRADS silently

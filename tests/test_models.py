@@ -793,3 +793,60 @@ class TestRefineEventAlignment:
         err_aligned = float(np.sum((tgt - np.asarray(aligned)) ** 2))
         assert np.isfinite(err_aligned)
         assert err_aligned <= err_refit * (1 + 1e-4)
+
+
+class TestTrustRatioClip:
+    """mptpu.train.trust_ratio_clip — the round-4 divergence-storm bound
+    (BENCHMARKS.md "optimizer-knob A/B"; the reference merely skips
+    non-finite steps, iterativedecomposition.py:535-540)."""
+
+    def test_oversized_update_clipped_to_ratio_times_param_norm(self):
+        from mptpu.train import trust_ratio_clip
+
+        clip = trust_ratio_clip(0.1)
+        params = {"w": jnp.ones((4, 4))}
+        updates = {"w": jnp.full((4, 4), 100.0)}
+        out, _ = clip.update(updates, clip.init(params), params)
+        un = float(jnp.linalg.norm(out["w"].ravel()))
+        pn = float(jnp.linalg.norm(params["w"].ravel()))
+        np.testing.assert_allclose(un, 0.1 * pn, rtol=1e-5)
+
+    def test_small_update_passes_through_unchanged(self):
+        from mptpu.train import trust_ratio_clip
+
+        clip = trust_ratio_clip(0.1)
+        params = {"w": jnp.ones((4, 4))}
+        updates = {"w": jnp.full((4, 4), 1e-3)}
+        out, _ = clip.update(updates, clip.init(params), params)
+        np.testing.assert_array_equal(np.asarray(out["w"]),
+                                      np.asarray(updates["w"]))
+
+    def test_zero_init_leaf_is_not_frozen(self):
+        # the naive ||p||/||u|| form froze every zero-init bias forever;
+        # the floored form lets it take floor-scaled steps whose cap then
+        # grows with the leaf (~40 steps from 1e-3 to 1)
+        from mptpu.train import trust_ratio_clip
+
+        clip = trust_ratio_clip(0.1, floor=1e-3)
+        p = jnp.zeros((8,))
+        state = clip.init({"b": p})
+        for _ in range(5):
+            out, state = clip.update({"b": jnp.ones((8,))}, state, {"b": p})
+            assert float(jnp.linalg.norm(out["b"])) > 0.0
+            p = p + out["b"]
+        assert float(jnp.linalg.norm(p)) > 1e-4
+
+    def test_chains_with_adam(self):
+        import optax
+        from mptpu.train import trust_ratio_clip
+
+        opt = optax.chain(optax.adam(1e-2), trust_ratio_clip(0.1))
+        params = {"w": jnp.ones((3,))}
+        state = opt.init(params)
+        g = {"w": jnp.full((3,), 5.0)}
+        updates, state = opt.update(g, state, params)
+        new = optax.apply_updates(params, updates)
+        assert np.all(np.isfinite(np.asarray(new["w"])))
+        un = float(jnp.linalg.norm(updates["w"].ravel()))
+        pn = float(jnp.linalg.norm(params["w"].ravel()))
+        assert un <= 0.1 * pn * (1 + 1e-5)

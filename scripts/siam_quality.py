@@ -122,6 +122,23 @@ def main():
                              "tests the train-side-stochasticity "
                              "hypothesis against the training-amount "
                              "one (VERDICT r3 missing #1)")
+    parser.add_argument("--gain-refit", type=float, default=0.0,
+                        help="train the waveform term THROUGH a per-event "
+                             "OMP gain re-fit on the covered first half "
+                             "(ridge value; 0 = off = r3 behavior). The "
+                             "overfit campaign's decisive lever: raw-"
+                             "trained amplitudes made waveform SNR a "
+                             "scale problem (2.7 dB in 9k steps); "
+                             "training through the refit made it "
+                             "direction-only (9.4 dB in 1.8k). The r3/r4 "
+                             "generalization runs trained raw — this "
+                             "tests the same lever on holdout waveform "
+                             "SNR (ROADMAP r4)")
+    parser.add_argument("--gain-reg", type=float, default=0.0,
+                        help="with --gain-refit: penalize (gain - 1)^2 on "
+                             "alive events so the trained amplitudes "
+                             "converge to the refit solution and the raw "
+                             "decode stops relying on it")
     parser.add_argument("--b2", type=float, default=0.999,
                         help="Adam beta2; 0.95 adapts the second moment "
                              "within ~20 steps — the optimizer-cliff "
@@ -303,6 +320,24 @@ def main():
             # positive without this term (round-3 overfit campaign,
             # BENCHMARKS.md)
             recon = jnp.sum(channels, axis=1, keepdims=True)
+            if args.gain_refit:
+                # train THROUGH the per-event gain re-fit (see --gain-refit
+                # help; mirrors scripts/siam_overfit.py refit_recon incl.
+                # the ±10 scale-degeneracy clip)
+                from mptpu.models.siam import refit_event_gains
+
+                gains = refit_event_gains(
+                    target, channels, ridge=args.gain_refit, span=half
+                )
+                gains = jnp.clip(gains, -10.0, 10.0)
+                recon = jnp.einsum("be,ben->bn", gains, channels)[:, None]
+                if args.gain_reg:
+                    alive = (
+                        jnp.sum(channels[..., :half] ** 2, axis=-1) > 1e-12
+                    )
+                    loss = loss + args.gain_reg * jnp.sum(
+                        jnp.where(alive, (gains - 1.0) ** 2, 0.0)
+                    ) / jnp.maximum(jnp.sum(alive), 1)
             wave = jnp.sum(
                 (recon[..., :half] - target[..., :half]) ** 2
             ) / jnp.maximum(jnp.sum(target[..., :half] ** 2), 1e-12)
@@ -382,6 +417,7 @@ def main():
             f"fade {'off' if args.no_fade else 'on'}, "
             f"fixed_noise {args.fixed_noise}, "
             f"b2 {args.b2:g}, trust_ratio {args.trust_ratio:g}, "
+            f"gain_refit {args.gain_refit:g}, gain_reg {args.gain_reg:g}, "
             f"holdout {'disjoint-content' if holdout_path else 'same-corpus crop'}"
         ),
         "init_s": round(init_s, 1),

@@ -120,6 +120,64 @@ def ensure_demo_dataset(
     return directory
 
 
+def fresh_segment_stream(
+    batch_size: int,
+    n_samples: int,
+    samplerate: int = 22050,
+    seed_base: int = 1_000_000,
+    prefetch: int = 2,
+):
+    """Infinite stream of FRESHLY synthesized dense segments, one new seed
+    per example, never repeating.
+
+    Motivation (BENCHMARKS.md "Round 4: the training-amount hypothesis"):
+    the fixed ``ensure_demo_dataset`` corpus is 144 s of content, and a
+    30k-step run saw every second ~850 times — all holdout metrics
+    plateaued by ~5k steps while training loss kept falling
+    (memorization). The reference trains on ~34 h of MusicNet
+    (``readme.md:98-103``); an infinite synthetic corpus is the closest
+    this image can get to that data regime.
+
+    Seed layout: example ``i`` of batch ``b`` uses
+    ``seed_base + b * batch_size + i``. The default base (1e6) is
+    disjoint from every ``ensure_demo_dataset`` corpus (training seeds
+    0..n_files-1, holdout ``seed_offset`` 1000..) so the holdout stays
+    held out. Synthesis runs in a daemon thread with a bounded queue so
+    the ~10-30 ms/segment host cost overlaps device steps instead of
+    serializing with them (one host core — see CLAUDE.md).
+
+    Yields float32 arrays of shape ``(batch_size, 1, n_samples)``,
+    max-normalized per example (the ``AudioIterator(normalize=True)``
+    convention this replaces in ``scripts/siam_quality.py``).
+    """
+    import queue
+    import threading
+
+    dur = n_samples / samplerate
+    n_events = max(4, int(dur * 8))
+    q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=max(1, prefetch))
+
+    def synth_loop() -> None:
+        b = 0
+        while True:
+            batch = np.stack([
+                synthetic_audio(
+                    n_samples,
+                    samplerate,
+                    n_events=n_events,
+                    seed=seed_base + b * batch_size + i,
+                    sustained=True,
+                )
+                for i in range(batch_size)
+            ])[:, None, :]
+            q.put(batch)  # blocks when `prefetch` batches are ready
+            b += 1
+
+    threading.Thread(target=synth_loop, daemon=True).start()
+    while True:
+        yield q.get()
+
+
 def streaming_windows(
     seg: np.ndarray, n_samples: int, n_win: int
 ) -> np.ndarray:

@@ -165,6 +165,16 @@ def main():
                              "checkpoint in --out (skips the timing phases)")
     parser.add_argument("--dense", action="store_true",
                         help="train on the MusicNet-density synthetic corpus")
+    parser.add_argument("--fresh-corpus", action="store_true",
+                        help="stream FRESHLY synthesized dense segments "
+                             "every batch (infinite corpus, never-repeating "
+                             "seeds disjoint from the holdout) instead of "
+                             "cycling the fixed 144 s --dense corpus. The "
+                             "30k-step round-4 run showed the fixed corpus "
+                             "is memorized by ~5k steps (BENCHMARKS.md); "
+                             "this removes that ceiling. Implies --dense "
+                             "eval corpora (holdout stays the disjoint-"
+                             "content fixed set so trajectories compare).")
     parser.add_argument("--no-fade", action="store_true",
                         help="disable the reference's second-half target fade")
     args = parser.parse_args()
@@ -218,6 +228,8 @@ def main():
 
     audio_path = None
     holdout_path = None
+    if args.fresh_corpus:
+        args.dense = True
     if args.dense:
         from mptpu.data.synthetic import ensure_demo_dataset
 
@@ -382,7 +394,25 @@ def main():
     stream_fn = make_streaming_fn(model)
     pif_dist_fn = jax.jit(pif_distance)
 
-    stream = iter(train_stream)
+    if args.fresh_corpus:
+        # infinite never-repeating corpus (see the flag help); the fixed
+        # train_stream above still exists but is not consumed. jnp.asarray
+        # here (not in the synth thread) keeps device transfer on the
+        # consumer thread — the axon relay is not thread-safe for puts.
+        from mptpu.data.synthetic import fresh_segment_stream
+
+        stream = (
+            jnp.asarray(b)
+            for b in fresh_segment_stream(
+                args.batch_size,
+                n_samples,
+                # a resumed run continues into UNSEEN seeds instead of
+                # replaying the corpus from the base
+                seed_base=1_000_000 + resume_step * args.batch_size,
+            )
+        )
+    else:
+        stream = iter(train_stream)
 
     # ---- compile + 2 warmup steps (skipped on resume: warmup would
     # silently mutate the restored params before any recorded step)
@@ -413,7 +443,7 @@ def main():
             f"selection_floor {args.selection_floor:g}, "
             f"switch_bias_init {args.switch_bias_init:g}, "
             f"lr {args.lr:g}, "
-            f"corpus {'dense' if args.dense else 'sparse'}, "
+            f"corpus {'fresh-infinite' if args.fresh_corpus else ('dense' if args.dense else 'sparse')}, "
             f"fade {'off' if args.no_fade else 'on'}, "
             f"fixed_noise {args.fixed_noise}, "
             f"b2 {args.b2:g}, trust_ratio {args.trust_ratio:g}, "

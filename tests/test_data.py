@@ -111,3 +111,24 @@ def test_native_loader_matches_python_reader(demo_dir, tmp_path):
     y, _ = read_wav(path)
     # batch window started at 0 (only aligned start within the file)
     np.testing.assert_allclose(b[: len(y)], y, atol=2e-4)
+
+
+def test_fresh_segment_stream():
+    """Infinite fresh-corpus stream: shape/norm convention, determinism
+    for a given seed base, and never-repeating content across batches
+    (the round-4 memorization fix, BENCHMARKS.md)."""
+    from mptpu.data.synthetic import fresh_segment_stream
+
+    s = fresh_segment_stream(2, 4096, seed_base=500_000, prefetch=1)
+    b0, b1 = next(s), next(s)
+    assert b0.shape == (2, 1, 4096) and b0.dtype == np.float32
+    # per-example max-norm (the AudioIterator(normalize=True) convention)
+    assert np.allclose(np.abs(b0).max(axis=-1), 1.0, atol=1e-3)
+    # consecutive batches are fresh content, not a repeat
+    assert not np.allclose(b0, b1)
+    # deterministic replay for the same seed base
+    s2 = fresh_segment_stream(2, 4096, seed_base=500_000, prefetch=1)
+    np.testing.assert_array_equal(next(s2), b0)
+    # a shifted base (the --resume path) yields the later batch's content
+    s3 = fresh_segment_stream(2, 4096, seed_base=500_002, prefetch=1)
+    np.testing.assert_array_equal(next(s3), b1)

@@ -20,8 +20,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mptpu.utils.platform import apply_platform_from_env
+from mptpu.utils.platform import apply_platform_from_env, enable_compilation_cache
 apply_platform_from_env()
+enable_compilation_cache()
 
 import numpy as np
 import jax

@@ -1,0 +1,128 @@
+"""Block-size sweep for the fused MP kernels on the judged config.
+
+The update window spans ``ceil((2A-1)/block) + 1`` aligned blocks, so at
+the judged config (A = 512) the default ``block=512`` moves a 1536-lane
+window through VMEM per (item, step) while the true update region is
+only 1023 lanes: ``block=128`` shrinks the window to 1152 lanes (-25%
+window DMA *and* VPU subtract work — the two largest measured phases,
+trained_weights/kernel_ablation.json: windma 26%, winvpu 9%), at the
+cost of a wider block-max table (136 -> padded 256 lanes). ``block=256``
+is the middle point whose table still fits one 128-lane pad.
+
+Selections and values are bit-identical across block sizes (the
+block-max argmax preserves first-flat-index semantics at any
+granularity); this script re-verifies that on device against the
+unfused XLA engine.
+
+Usage: python scripts/kernel_block_sweep.py   (TPU; run in background
+to completion, never under `timeout`). Writes
+trained_weights/kernel_block_sweep.json.
+
+Reference hot path being optimized: modules/conv.py:11-53 +
+modules/matchingpursuit.py:269-328.
+"""
+
+from __future__ import annotations
+
+import faulthandler
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mptpu.utils.platform import apply_platform_from_env, enable_compilation_cache
+
+apply_platform_from_env()
+enable_compilation_cache()
+
+faulthandler.dump_traceback_later(4000, exit=True)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mptpu.sparse import sparse_code_fast
+
+n_atoms, atom_size, n_samples, n_steps, batch = 512, 512, 16384, 100, 32
+rng = np.random.default_rng(0)
+d = jnp.asarray(rng.standard_normal((n_atoms, atom_size)).astype(np.float32))
+sig = jnp.asarray(rng.standard_normal((batch, 1, n_samples)).astype(np.float32))
+
+print(f"backend: {jax.devices()[0].platform}", flush=True)
+
+# ground truth: the per-step non-fused XLA engine (block argmax, any block)
+ref = jax.jit(
+    lambda s, dd: sparse_code_fast(s, dd, n_steps=n_steps, fused=False)
+)(sig, d)
+float(ref.values.sum())
+
+results = {}
+VARIANTS = [
+    ("whole128", dict(block=128, whole_loop=True, depth=2)),
+    ("whole256", dict(block=256, whole_loop=True, depth=2)),
+    ("whole512", dict(block=512, whole_loop=True, depth=2)),
+    ("whole128d3", dict(block=128, whole_loop=True, depth=3)),
+    ("pipe128", dict(block=128, pipelined=True)),
+    ("pipe512", dict(block=512, pipelined=True)),
+]
+for name, kw in VARIANTS:
+    coder = jax.jit(
+        lambda s, dd, kw=kw: sparse_code_fast(
+            s, dd, n_steps=n_steps, fused=True, **kw
+        )
+    )
+    t0 = time.perf_counter()
+    try:
+        out = coder(sig, d)
+        float(out.values.sum())
+    except Exception as e:
+        print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+        results[name] = {"error": f"{type(e).__name__}: {e}"}
+        continue
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        out = coder(sig, d)
+        float(out.values.sum())
+        times.append(time.perf_counter() - t0)
+        best = min(best, times[-1])
+    aps = n_steps * batch / best
+    parity = (
+        np.array_equal(np.asarray(ref.atom_indices), np.asarray(out.atom_indices))
+        and np.array_equal(np.asarray(ref.positions), np.asarray(out.positions))
+        and np.allclose(np.asarray(ref.values), np.asarray(out.values), rtol=1e-5)
+        and np.allclose(
+            np.asarray(ref.residual), np.asarray(out.residual), rtol=1e-4, atol=1e-5
+        )
+    )
+    results[name] = {
+        "ms": round(best * 1e3, 2),
+        "ms_all": [round(t * 1e3, 2) for t in times],
+        "atoms_per_sec": round(aps),
+        "compile_s": round(compile_s, 1),
+        "parity_vs_xla": bool(parity),
+    }
+    print(
+        f"{name}: compile {compile_s:.1f}s, best {best*1e3:.1f} ms, "
+        f"{aps:,.0f} atoms/sec, parity={parity}",
+        flush=True,
+    )
+
+os.makedirs("trained_weights", exist_ok=True)
+with open("trained_weights/kernel_block_sweep.json", "w") as f:
+    json.dump(
+        {
+            "config": dict(
+                batch=batch, atoms=n_atoms, atom_size=atom_size,
+                n_samples=n_samples, steps=n_steps,
+            ),
+            "results": results,
+        },
+        f,
+        indent=2,
+    )
+print("wrote trained_weights/kernel_block_sweep.json", flush=True)

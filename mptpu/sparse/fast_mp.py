@@ -39,6 +39,7 @@ from .pallas_fused_mp import (
     pallas_fused_step,
     pallas_fused_step_pipelined,
     pallas_fused_encode,
+    pallas_fused_encode_lane,
     fused_step_applicable,
 )
 
@@ -66,7 +67,7 @@ def dictionary_gram(d: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=(
         "n_steps", "block", "block_argmax", "use_pallas", "fused",
-        "pipelined", "gate_tail", "whole_loop", "depth",
+        "pipelined", "gate_tail", "whole_loop", "depth", "lane_table",
     ),
 )
 def sparse_code_fast(
@@ -81,6 +82,7 @@ def sparse_code_fast(
     gate_tail: bool = True,
     whole_loop: bool = False,
     depth: int = 2,
+    lane_table: bool = False,
 ) -> SparseCodeResult:
     """Drop-in fast path for ``sparse_code`` (1-channel dictionaries).
 
@@ -173,6 +175,42 @@ def sparse_code_fast(
                 blockmax0,
                 ((0, 0), (0, 0), (0, nb_pad - n_blocks)),
                 constant_values=-3e38,
+            )
+
+        if whole_loop and lane_table:
+            # lane-table whole-encode kernel: additionally keeps the
+            # per-block FIRST-argmax lane resident, killing the per-step
+            # refine DMA round trip (pallas_fused_mp._whole_loop_lane_kernel)
+            blocklane0 = jnp.argmax(
+                fm0.reshape(batch, n_atoms, n_blocks, block), axis=-1
+            ).astype(jnp.int32)
+            nb_pad = blockmax0.shape[-1]
+            blocklane0 = jnp.pad(
+                blocklane0, ((0, 0), (0, 0), (0, nb_pad - n_blocks))
+            )
+            _, _, residual, atom_indices, positions, values = (
+                pallas_fused_encode_lane(
+                    fm0,
+                    blockmax0,
+                    blocklane0,
+                    res0,
+                    d2,
+                    gram_p,
+                    n_samples=n_samples,
+                    atom_size=atom_size,
+                    block=block,
+                    pad=pad,
+                    n_blocks=n_blocks,
+                    upd_blocks=upd_blocks,
+                    tail_start=tail_start,
+                    n_steps=n_steps,
+                    depth=depth,
+                    gate_tail=gate_tail,
+                    interpret=interpret,
+                )
+            )
+            return SparseCodeResult(
+                atom_indices, positions, values, residual[:, None, :n_samples]
             )
 
         if whole_loop:

@@ -1276,6 +1276,480 @@ def pallas_fused_encode(
     )
 
 
+def _first_max_2d_with_aux(x: jax.Array, aux: jax.Array):
+    """(row, col, value, aux[argmax]) of the first maximum of ``x`` in
+    row-major order. ``aux`` is an int32 array of the same shape whose
+    value at the winning element is returned via a second masked reduce
+    (no dynamic scalar indexing — Mosaic-friendly)."""
+    rows, cols = x.shape
+    m = jnp.max(x)
+    flat_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols + (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    )
+    big = jnp.int32(rows * cols)
+    fi = jnp.min(jnp.where(x == m, flat_ids, big))
+    a = jnp.min(jnp.where(flat_ids == fi, aux, jnp.int32(2**30)))
+    return fi // cols, fi % cols, m, a
+
+
+def _whole_loop_lane_kernel(
+    # inputs
+    fm_hbm,      # (B, N, W) ANY
+    gram_hbm,    # (N, N, 2A) ANY
+    res_hbm,     # (B, 1, L) ANY
+    bm_hbm,      # (B, N, nb_pad) ANY
+    lane_hbm,    # (B, N, nb_pad) ANY int32 — per-block argmax lanes
+    d2_ref,      # (N, A) VMEM
+    # outputs
+    fm_out,      # aliased fm
+    res_out,     # aliased residual
+    bm_out,      # aliased bm
+    atom_out,    # (n_steps, 1, 128) ANY int32
+    pos_out,     # (n_steps, 1, 128) ANY int32
+    val_out,     # (n_steps, 1, 128) ANY f32
+    # scratch
+    bm_res,      # (B, N, nb_pad) VMEM — RESIDENT block-max values
+    lane_res,    # (B, N, nb_pad) VMEM int32 — RESIDENT block argmax lanes
+    res_res,     # (B, 1, L) VMEM — RESIDENT residuals
+    gpad_scr,    # (S, N, upd_w) VMEM
+    win_scr,     # (S, N, upd_w) VMEM
+    hank_scr,    # (A, 2A) VMEM
+    tail_scr,    # (S, N, A) VMEM
+    ev_atom,     # (n_steps, 1, 128) VMEM int32
+    ev_pos,      # (n_steps, 1, 128) VMEM int32
+    ev_val,      # (n_steps, 1, 128) VMEM f32
+    pend_i,      # (S, 5) SMEM int32: atom, position, ws_blk, item, clipped
+    pend_f,      # (S, 1) SMEM f32: value
+    sems,        # DMA semaphores (S, 2): 0 gram, 1 win_in
+    wsems,       # DMA semaphores (S, 2): 0 win_out, 1 tail_out
+    gsems,       # DMA semaphores (4,): resident loads/stores + event store
+    *,
+    n_samples: int,
+    atom_size: int,
+    block: int,
+    pad: int,
+    n_blocks: int,
+    upd_blocks: int,
+    tail_start: int,
+    n_steps: int,
+    n_items: int,
+    depth: int,
+    gate_tail: bool,
+    interpret: bool,
+):
+    """Whole-encode fused kernel with a RESIDENT per-block argmax-lane
+    table — no refine DMA anywhere.
+
+    vs. :func:`_whole_loop_kernel`: that kernel's prefetch still pays one
+    serial HBM round trip per (item, step) — an 8-row fm slab fetched to
+    locate the winner's exact lane (started and immediately waited, so
+    prefetch depth cannot hide it). But the winning VALUE is already the
+    block-max table entry, and the winning LANE can be maintained
+    residently: block-max maintenance computes ``max`` over the updated
+    window while it sits in VMEM — one extra masked-min per block yields
+    its first-argmax lane for the same table columns. Prefetch becomes
+    pure VPU work on resident state plus two DMA *starts*; the only
+    remaining per-step waits are the (depth-ahead) gram/window fetches.
+
+    Tie-breaking parity: per-block lanes are first-max (masked min over
+    an iota, exactly the refine slab's semantics) and the global argmax
+    keeps first-flat-index order, so selections stay bit-identical to
+    the per-step engines (tests/test_fast_mp.py).
+    """
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+    B = n_items
+    g = s * B + b
+    total = n_steps * B
+    S = depth + 1
+    N = d2_ref.shape[0]
+    A = atom_size
+    L = n_samples + A
+    upd_w = upd_blocks * block
+    tail_blk = tail_start // block
+    tail_nblk = A // block
+    nb_pad = bm_hbm.shape[-1]
+
+    def prefetch(i, slot):
+        """Light phase for linear index ``i``: argmax + lane lookup on the
+        RESIDENT tables, then launch the gram/window fetches. No DMA
+        waits except draining the slot's previous write-backs."""
+        item = jax.lax.rem(i, B)
+
+        @pl.when(i >= S)
+        def _():
+            pltpu.make_async_copy(
+                win_scr.at[slot], fm_out.at[0, :, :upd_w], wsems.at[slot, 0]
+            ).wait()
+
+            @pl.when(pend_i[slot, 4] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    tail_scr.at[slot], fm_out.at[0, :, :A], wsems.at[slot, 1]
+                ).wait()
+
+        atom, blk, value, li = _first_max_2d_with_aux(
+            bm_res[item], lane_res[item]
+        )
+        position = blk * block + li - pad
+
+        ustart = position + pad - (A - 1)
+        ws_blk = jnp.minimum(ustart // block, n_blocks - upd_blocks)
+
+        pend_i[slot, 0] = atom
+        pend_i[slot, 1] = position
+        pend_i[slot, 2] = ws_blk
+        pend_i[slot, 3] = item
+        pend_i[slot, 4] = jnp.where(
+            (position > n_samples - A) if gate_tail else True, 1, 0
+        ).astype(jnp.int32)
+        pend_f[slot, 0] = value
+
+        pltpu.make_async_copy(
+            gram_hbm.at[atom], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            fm_out.at[item, :, pl.ds(ws_blk * block, upd_w)],
+            win_scr.at[slot],
+            sems.at[slot, 1],
+        ).start()
+
+    # ---- prologue: load resident state, then fill the pipeline
+    @pl.when(g == 0)
+    def _():
+        bm_load = pltpu.make_async_copy(bm_hbm, bm_res, gsems.at[0])
+        bm_load.start()
+        res_load = pltpu.make_async_copy(res_hbm, res_res, gsems.at[1])
+        res_load.start()
+        lane_load = pltpu.make_async_copy(lane_hbm, lane_res, gsems.at[2])
+        lane_load.start()
+        for sl in range(S):
+            gpad_scr[sl, :, 2 * A :] = jnp.zeros(
+                (N, upd_w - 2 * A), jnp.float32
+            )
+        bm_load.wait()
+        res_load.wait()
+        lane_load.wait()
+        for i in range(depth):
+            prefetch(jnp.int32(i), jnp.int32(i % S))
+
+    # ---- heavy phase for linear g (slot g % S) ----
+    slot = jax.lax.rem(g, S)
+    atom = pend_i[slot, 0]
+    position = pend_i[slot, 1]
+    ws_blk = pend_i[slot, 2]
+    item = pend_i[slot, 3]
+    clipped = pend_i[slot, 4] == 1
+    value = pend_f[slot, 0]
+    ws = ws_blk * block
+    ustart = position + pad - (A - 1)
+
+    # residual surgery on the RESIDENT row (no DMA)
+    rot = _roll(res_res[item], L - position, interpret)
+    rot = jnp.concatenate(
+        [rot[:, :A] - value * d2_ref[pl.ds(atom, 1), :], rot[:, A:]], axis=1
+    )
+    restored = _roll(rot, position, interpret)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    res_res[item] = jnp.where(lane < n_samples, restored, 0.0)
+
+    # boundary-tail recompute (Hankel roll ladder + MXU matmul), gated
+    @pl.when(clipped)
+    def _():
+        t = res_res[item, :, n_samples - A :]
+        hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
+        shift = 1
+        while shift < A:
+            rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
+            hank_scr[:, :] = jnp.where(
+                (row_ids & shift) != 0, rolled, hank_scr[:, :]
+            )
+            shift *= 2
+        tail_scr[slot] = jax.lax.dot_general(
+            d2_ref[:, :],
+            hank_scr[:, :A],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # gram-slice subtract into the window
+    pltpu.make_async_copy(
+        gram_hbm.at[0], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 0]
+    ).wait()
+    pltpu.make_async_copy(
+        fm_out.at[0, :, :upd_w], win_scr.at[slot], sems.at[slot, 1]
+    ).wait()
+    placed = _roll(gpad_scr[slot], ustart - ws, interpret)
+    win_scr[slot] = win_scr[slot] - value * placed
+
+    for k in range(upd_blocks):
+        for j in range(tail_nblk):
+
+            @pl.when(clipped & (ws_blk + k == tail_blk + j))
+            def _(k=k, j=j):
+                win_scr[slot, :, k * block : (k + 1) * block] = tail_scr[
+                    slot, :, j * block : (j + 1) * block
+                ]
+
+    # write-backs (waited when the slot is next reused, or at epilogue)
+    pltpu.make_async_copy(
+        win_scr.at[slot], fm_out.at[item, :, pl.ds(ws, upd_w)], wsems.at[slot, 0]
+    ).start()
+
+    @pl.when(clipped)
+    def _():
+        pltpu.make_async_copy(
+            tail_scr.at[slot], fm_out.at[item, :, pl.ds(tail_start, A)],
+            wsems.at[slot, 1],
+        ).start()
+
+    # block-max + block-lane maintenance on the RESIDENT tables: one
+    # reshape-max for the values (as before) plus one masked-min for the
+    # first-argmax lanes, both while the window is already in VMEM
+    win3 = win_scr[slot].reshape(N, upd_blocks, block)
+    wmax = jnp.max(win3, axis=-1)
+    ids3 = jax.lax.broadcasted_iota(jnp.int32, (N, upd_blocks, block), 2)
+    wlane = jnp.min(
+        jnp.where(win3 == wmax[:, :, None], ids3, jnp.int32(block)), axis=-1
+    )
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 1)
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 0)
+    placer = (lane_b == ws_blk + row_k).astype(jnp.float32)
+    wplaced = jax.lax.dot_general(
+        wmax,
+        placer,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # lanes ride the same one-hot placer (exact: lane values < block <=
+    # 2^23 are representable in f32)
+    lplaced = jax.lax.dot_general(
+        wlane.astype(jnp.float32),
+        placer,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
+    in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
+    bm_res[item] = jnp.where(in_win, wplaced, bm_res[item])
+    lane_res[item] = jnp.where(
+        in_win, lplaced.astype(jnp.int32), lane_res[item]
+    )
+
+    @pl.when(clipped)
+    def _():
+        tail3 = tail_scr[slot].reshape(N, tail_nblk, block)
+        tmax = jnp.max(tail3, axis=-1)
+        tids = jax.lax.broadcasted_iota(jnp.int32, (N, tail_nblk, block), 2)
+        tlane = jnp.min(
+            jnp.where(tail3 == tmax[:, :, None], tids, jnp.int32(block)),
+            axis=-1,
+        )
+        tplaced = jnp.concatenate(
+            [
+                jnp.zeros((N, tail_blk), jnp.float32),
+                tmax,
+                jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
+            ],
+            axis=1,
+        )
+        tlplaced = jnp.concatenate(
+            [
+                jnp.zeros((N, tail_blk), jnp.int32),
+                tlane,
+                jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.int32),
+            ],
+            axis=1,
+        )
+        in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
+        bm_res[item] = jnp.where(in_tail, tplaced, bm_res[item])
+        lane_res[item] = jnp.where(in_tail, tlplaced, lane_res[item])
+
+    # events: masked row write at (step s, lane b)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    hit = lane128 == b
+    ev_atom[s] = jnp.where(hit, atom, ev_atom[s])
+    ev_pos[s] = jnp.where(hit, position, ev_pos[s])
+    ev_val[s] = jnp.where(hit, value, ev_val[s])
+
+    # ---- steady-state prefetch
+    @pl.when(g + depth < total)
+    def _():
+        prefetch(g + depth, jax.lax.rem(g + depth, S))
+
+    # ---- epilogue: drain every slot's write-backs, store resident state
+    @pl.when(g == total - 1)
+    def _():
+        for sl in range(S):
+            pltpu.make_async_copy(
+                win_scr.at[sl], fm_out.at[0, :, :upd_w], wsems.at[sl, 0]
+            ).wait()
+
+            @pl.when(pend_i[sl, 4] == 1)
+            def _(sl=sl):
+                pltpu.make_async_copy(
+                    tail_scr.at[sl], fm_out.at[0, :, :A], wsems.at[sl, 1]
+                ).wait()
+
+        bm_store = pltpu.make_async_copy(bm_res, bm_out, gsems.at[0])
+        bm_store.start()
+        res_store = pltpu.make_async_copy(res_res, res_out, gsems.at[1])
+        res_store.start()
+        ev_dmas = [
+            pltpu.make_async_copy(ev_atom, atom_out, gsems.at[2]),
+            pltpu.make_async_copy(ev_pos, pos_out, gsems.at[3]),
+        ]
+        for dma in ev_dmas:
+            dma.start()
+        bm_store.wait()
+        res_store.wait()
+        for dma in ev_dmas:
+            dma.wait()
+        val_dma = pltpu.make_async_copy(ev_val, val_out, gsems.at[2])
+        val_dma.start()
+        val_dma.wait()
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_samples",
+        "atom_size",
+        "block",
+        "pad",
+        "n_blocks",
+        "upd_blocks",
+        "tail_start",
+        "n_steps",
+        "depth",
+        "gate_tail",
+        "interpret",
+    ),
+)
+def pallas_fused_encode_lane(
+    fm: jax.Array,
+    bm: jax.Array,
+    lanes: jax.Array,
+    residual: jax.Array,
+    d2: jax.Array,
+    gram: jax.Array,
+    *,
+    n_samples: int,
+    atom_size: int,
+    block: int,
+    pad: int,
+    n_blocks: int,
+    upd_blocks: int,
+    tail_start: int,
+    n_steps: int,
+    depth: int = 2,
+    gate_tail: bool = True,
+    interpret: bool = False,
+):
+    """Whole-encode fused greedy MP with a resident argmax-lane table
+    (see ``_whole_loop_lane_kernel``). ``lanes`` is the per-(item, atom,
+    block) FIRST-argmax lane of the initial correlation map, int32, same
+    (padded) shape as ``bm``. Same contract as
+    :func:`pallas_fused_encode`."""
+    B, N, W = fm.shape
+    A = atom_size
+    upd_w = upd_blocks * block
+    L = n_samples + A
+    res3 = residual.reshape(B, 1, L)
+    nb_pad = bm.shape[-1]
+    S = depth + 1
+    assert nb_pad % 128 == 0, "lane kernel needs a lane-padded bm"
+    assert lanes.shape == bm.shape and lanes.dtype == jnp.int32
+    assert B >= S, "prefetch depth must be < n_items"
+    assert B <= 128, "event rows are single 128-lane vectors"
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # fm
+        pl.BlockSpec(memory_space=pl.ANY),  # gram
+        pl.BlockSpec(memory_space=pl.ANY),  # residual
+        pl.BlockSpec(memory_space=pl.ANY),  # bm
+        pl.BlockSpec(memory_space=pl.ANY),  # lanes
+        pl.BlockSpec((N, A), lambda s, b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # fm (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),  # residual (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),  # bm (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),  # atoms
+        pl.BlockSpec(memory_space=pl.ANY),  # positions
+        pl.BlockSpec(memory_space=pl.ANY),  # values
+    ]
+
+    kernel = partial(
+        _whole_loop_lane_kernel,
+        n_samples=n_samples,
+        atom_size=A,
+        block=block,
+        pad=pad,
+        n_blocks=n_blocks,
+        upd_blocks=upd_blocks,
+        tail_start=tail_start,
+        n_steps=n_steps,
+        n_items=B,
+        depth=depth,
+        gate_tail=gate_tail,
+        interpret=interpret,
+    )
+
+    fm2, res2, bm2, atom, pos, val = pl.pallas_call(
+        kernel,
+        grid=(n_steps, B),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct(fm.shape, fm.dtype),
+            jax.ShapeDtypeStruct(res3.shape, res3.dtype),
+            jax.ShapeDtypeStruct(bm.shape, bm.dtype),
+            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, N, nb_pad), jnp.float32),   # bm_res
+            pltpu.VMEM((B, N, nb_pad), jnp.int32),     # lane_res
+            pltpu.VMEM((B, 1, L), jnp.float32),        # res_res
+            pltpu.VMEM((S, N, upd_w), jnp.float32),    # gpad
+            pltpu.VMEM((S, N, upd_w), jnp.float32),    # win
+            pltpu.VMEM((A, 2 * A), jnp.float32),       # hank
+            pltpu.VMEM((S, N, A), jnp.float32),        # tail
+            pltpu.VMEM((n_steps, 1, 128), jnp.int32),   # ev_atom
+            pltpu.VMEM((n_steps, 1, 128), jnp.int32),   # ev_pos
+            pltpu.VMEM((n_steps, 1, 128), jnp.float32), # ev_val
+            pltpu.SMEM((S, 5), jnp.int32),
+            pltpu.SMEM((S, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((S, 2)),
+            pltpu.SemaphoreType.DMA((S, 2)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        input_output_aliases={0: 0, 2: 1, 3: 2},
+        interpret=interpret,
+        compiler_params=(
+            # resident bm + lane tables (2x B*N*nb_pad) + residuals +
+            # S-deep window/gram slots — ~55 MB at the judged config with
+            # block=128, well under the v5e's 128 MB VMEM
+            pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+            )
+            if not interpret and PALLAS_AVAILABLE
+            else None
+        ),
+    )(fm, gram, res3, bm, lanes, d2)
+    return (
+        fm2,
+        bm2,
+        res2.reshape(B, L),
+        atom[:, 0, :B],
+        pos[:, 0, :B],
+        val[:, 0, :B],
+    )
+
+
 def fused_step_applicable(
     n_samples: int, atom_size: int, block: int, pad: int, n_atoms: int
 ) -> bool:

@@ -244,3 +244,39 @@ def test_whole_loop_encode_matches_per_step_scan():
         sig1, d, n_steps=7, block=128, fused=True, whole_loop=True
     )
     _assert_same_events(a, b)
+
+
+def test_lane_table_encode_matches_per_step_scan():
+    """The lane-table whole-encode kernel (resident per-block argmax-lane
+    table, NO refine DMA — pallas_fused_mp._whole_loop_lane_kernel) must
+    be bit-identical to the per-step pipelined scan, including
+    boundary-clipped events (the tail branch maintains lanes too) and
+    varying prefetch depths. Same planted-signal rationale as
+    test_whole_loop_encode_matches_per_step_scan."""
+    d = jnp.asarray(RNG.standard_normal((16, 128)).astype(np.float32))
+    du = np.asarray(unit_norm(d))
+
+    def planted(batch):
+        sig = np.zeros((batch, 1, 1024), np.float32)
+        for i in range(batch):
+            for k in range(8):
+                pos = (53 + 199 * (i + 1) * (k + 1)) % 896
+                sig[i, 0, pos : pos + 128] += du[(5 * i + k) % 16] * (
+                    5.0 * 0.8**k
+                )
+            sig[i, 0, -64:] += du[(3 * i + 1) % 16, :64] * 4.0
+        return jnp.asarray(sig)
+
+    for batch, depth in ((4, 2), (5, 3)):
+        sigj = planted(batch)
+        a = sparse_code_fast(
+            sigj, d, n_steps=9, block=128, fused=True, pipelined=True
+        )
+        b = sparse_code_fast(
+            sigj, d, n_steps=9, block=128, fused=True, whole_loop=True,
+            lane_table=True, depth=depth,
+        )
+        _assert_same_events(a, b)
+        np.testing.assert_array_equal(
+            np.asarray(a.residual), np.asarray(b.residual)
+        )

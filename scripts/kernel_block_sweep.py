@@ -37,7 +37,7 @@ from mptpu.utils.platform import apply_platform_from_env, enable_compilation_cac
 apply_platform_from_env()
 enable_compilation_cache()
 
-faulthandler.dump_traceback_later(4000, exit=True)
+faulthandler.dump_traceback_later(7200, exit=True)
 
 import numpy as np
 import jax

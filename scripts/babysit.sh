@@ -19,12 +19,28 @@ set -u
 REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 LOG="$1"; MAX="$2"; shift 3   # LOGFILE MAX_RESTARTS --
 
+# Optional global deadline (epoch seconds, env DEADLINE_EPOCH): no
+# restart starts within 20 min of it, and every restart appends a
+# recomputed --watchdog-s (argparse last-wins) so the trainer exits
+# BEFORE the deadline — e.g. before a session-end judged bench needs
+# the chip to itself.
+DEADLINE="${DEADLINE_EPOCH:-}"
+
 for attempt in $(seq 0 "$MAX"); do
+  extra=()
+  if [ -n "$DEADLINE" ]; then
+    left=$(( DEADLINE - $(date +%s) - 600 ))
+    if [ "$left" -lt 1200 ]; then
+      echo "[babysit] within 20 min of deadline — not (re)starting"
+      exit 1
+    fi
+    extra=(--watchdog-s "$left")
+  fi
   if [ "$attempt" -eq 0 ]; then
-    "$@" >> "$LOG" 2>&1
+    "$@" "${extra[@]}" >> "$LOG" 2>&1
   else
     echo "[babysit] restart $attempt/$MAX with --resume $(date +%H:%M:%S)"
-    "$@" --resume >> "$LOG" 2>&1
+    "$@" --resume "${extra[@]}" >> "$LOG" 2>&1
   fi
   rc=$?
   if grep -q "^done" "$LOG"; then

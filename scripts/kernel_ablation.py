@@ -37,6 +37,7 @@ from mptpu.ops.correlation import mp_correlate  # noqa: E402
 from mptpu.ops.norms import unit_norm  # noqa: E402
 from mptpu.sparse.fast_mp import dictionary_gram  # noqa: E402
 from mptpu.sparse.pallas_fused_mp import (  # noqa: E402
+    pallas_fused_encode,
     pallas_fused_step_pipelined,
 )
 
@@ -79,7 +80,24 @@ def build_inputs(batch: int, n_atoms: int, atom_size: int, n_samples: int, block
     return (res0, fm0, blockmax0, d2, gram_p), static
 
 
-def make_encode(static, n_steps: int, ablate: tuple, interpret: bool = False):
+def make_encode(static, n_steps: int, ablate: tuple, interpret: bool = False,
+                whole: bool = False, depth: int = 2):
+    if whole:
+        @jax.jit
+        def encode(res0, fm0, bm0, d2, gram_p):
+            fm, bm, residual, atoms, poss, vals = pallas_fused_encode(
+                fm0, bm0, res0, d2, gram_p,
+                n_steps=n_steps, depth=depth, gate_tail=True,
+                interpret=interpret, ablate=ablate, **static,
+            )
+            # depend on everything so no phase is dead-code-eliminated
+            return (
+                jnp.sum(vals) + jnp.sum(residual[:, ::997])
+                + jnp.sum(bm[:, ::97, ::31]) + jnp.sum(atoms) + jnp.sum(poss)
+            )
+
+        return encode
+
     @jax.jit
     def encode(res0, fm0, bm0, d2, gram_p):
         def step(carry, _):
@@ -122,6 +140,14 @@ def main():
              "program hit a TPU INTERNAL backend error on the first "
              "on-device run and wedged the relay",
     )
+    p.add_argument(
+        "--kernel", type=str, default="perstep", choices=("perstep", "whole"),
+        help="which engine to ablate: the per-step pipelined kernel under "
+             "lax.scan, or the whole-encode kernel (one pallas_call; "
+             "phases: argmax, refine, res, winvpu, windma, gramdma, bmm)",
+    )
+    p.add_argument("--depth", type=int, default=2,
+                   help="prefetch depth (whole-encode kernel only)")
     args = p.parse_args()
     faulthandler.dump_traceback_later(args.watchdog_s, exit=True)
 
@@ -139,7 +165,10 @@ def main():
     encodes, compile_s = {}, {}
     for name in names:
         ablate = () if name == "full" else tuple(sorted(name.split("+")))
-        encodes[name] = make_encode(static, args.steps, ablate, args.interpret)
+        encodes[name] = make_encode(
+            static, args.steps, ablate, args.interpret,
+            whole=(args.kernel == "whole"), depth=args.depth,
+        )
         t0 = time.perf_counter()
         _ = float(encodes[name](*inputs))  # compile + first run (axon defers)
         compile_s[name] = time.perf_counter() - t0
@@ -171,7 +200,11 @@ def main():
             flush=True,
         )
 
-    out_path = os.path.join("trained_weights", "kernel_ablation.json")
+    out_path = os.path.join(
+        "trained_weights",
+        "kernel_ablation.json" if args.kernel == "perstep"
+        else "kernel_ablation_whole.json",
+    )
     os.makedirs("trained_weights", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(

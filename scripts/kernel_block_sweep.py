@@ -68,9 +68,6 @@ VARIANTS = [
     ("whole128", dict(block=128, whole_loop=True, depth=2)),
     ("whole256", dict(block=256, whole_loop=True, depth=2)),
     ("whole512", dict(block=512, whole_loop=True, depth=2)),
-    ("whole128d3", dict(block=128, whole_loop=True, depth=3)),
-    ("pipe128", dict(block=128, pipelined=True)),
-    ("pipe512", dict(block=512, pipelined=True)),
 ]
 for name, kw in VARIANTS:
     coder = jax.jit(

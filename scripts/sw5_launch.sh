@@ -1,24 +1,32 @@
 #!/bin/bash
-# Round-5 flagship runway: full-config overfit with EVERYTHING proven in
-# round 4 — residual-handoff training (default-walk parity, sw4),
-# balance-windows, and the optimizer-knob combo that reached 17.26 dB in
-# 900 steps with zero rollbacks at medium scale (knobs_medium_all3).
+# Round-4/5 flagship runway: full-config overfit with EVERYTHING proven
+# this round — residual-handoff training (default-walk parity, sw4),
+# balance-windows, and the optimizer-knob pair that carried the medium
+# quality run 30,775 steps with zero rollback storms (b2 0.95 +
+# trust-ratio 0.1; knobs_medium_all3 reached 17.26 dB in 900 steps).
 #
-# BEFORE launching: run scripts/knob_bisect.sh — the all-three combo hit
-# a deterministic rollback storm at step ~153 at FULL config, so drop
-# (or soften) whichever knob the bisect convicts.
+# Knob provenance (full-config bisect, 2026-08-20, /tmp/bisect_*.log):
+# each knob SOLO is storm-free for 300 steps (b2 2.25 dB, tr 2.59 dB,
+# gain-reg clean) — the sw4-attempt-1 storm at step ~153 needed the
+# all-three combination. gain-reg is therefore DROPPED here (its
+# benefit, wire-gain calibration, is secondary to the flagship bar)
+# rather than carried into an untested triple.
 #
+# Run under the auto-resume babysitter with a global deadline:
+#   DEADLINE_EPOCH=... scripts/sw5_launch.sh
 # Never under `timeout`; the trainer self-bounds via --watchdog-s.
-nohup python scripts/siam_overfit.py \
+cd "$(dirname "${BASH_SOURCE[0]}")/.." || exit 1
+nohup scripts/babysit.sh /tmp/sw5.log 6 -- python scripts/siam_overfit.py \
   --stream-windows 3 --audio-events 12 --seed 3 \
   --waveform-weight 2000 --fixed-noise --switch-bias-init 1.0 \
   --selection-leak 0.02 --selection-floor 0.02 \
   --attn-floor 0.01 --attn-leak 0.1 \
   --eval-regress-db 2.0 --gain-refit 1e-3 --align-refine 256 --ema 0.999 \
   --residual-handoff 1000 --balance-windows \
-  --b2 0.95 --trust-ratio 0.1 --gain-reg 1e-3 \
+  --b2 0.95 --trust-ratio 0.1 \
   --lr 3e-4 --iterations 30000 --eval-every 250 \
-  --watchdog-s "${WATCHDOG_S:-28000}" --stall-s 1200 \
-  --out trained_weights/siam_overfit_full_sw5 > /tmp/sw5.log 2>&1 &
-echo $! > /tmp/sw5.pid
-echo "sw5 launched (pid $(cat /tmp/sw5.pid)); tail -f /tmp/sw5.log"
+  --stall-s 1200 \
+  --out trained_weights/siam_overfit_full_sw5 \
+  > /tmp/sw5_babysit.log 2>&1 &
+echo $! > /tmp/sw5_babysit.pid
+echo "sw5 babysitter launched (pid $(cat /tmp/sw5_babysit.pid)); tail -f /tmp/sw5.log"

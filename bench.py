@@ -162,11 +162,20 @@ def main():
     # prefetch; round-4 measured ~25-30% over the per-step pipelined
     # scan) -> per-step pipelined -> per-step. All bit-exact to each
     # other; fall back on compiler rejection rather than failing the bench
+    #
+    # block=128 (default 512): the update window spans
+    # ceil((2A-1)/block)+1 aligned blocks, so at A=512 the smaller block
+    # shrinks the per-(item, step) window from 1536 to 1152 lanes (-25%
+    # on the two largest measured phases, window DMA + subtract) at the
+    # cost of a wider block-max table. Round-4 sweep
+    # (trained_weights/kernel_block_sweep.json): 83.9 ms vs 92.0 ms per
+    # encode (+9.7%); on-device equivalence re-proved at this block size
+    # (kernel_parity_probe_b128.json).
     def make_coder(pipelined, whole_loop=False):
         return jax.jit(
             lambda s, d: sparse_code_fast(
                 s, d, n_steps=n_steps, fused=True, pipelined=pipelined,
-                whole_loop=whole_loop,
+                whole_loop=whole_loop, block=128,
             )
         )
 

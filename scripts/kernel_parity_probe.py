@@ -46,13 +46,21 @@ from mptpu.ops import unit_norm
 from mptpu.sparse import sparse_code_fast
 
 n_atoms, atom_size, n_samples, n_steps, batch = 512, 512, 16384, 100, 32
+# optional: probe the whole-encode kernel at a non-default block size
+# (e.g. --block 128, the round-4 sweep winner bench.py now runs);
+# the per-step reference arm stays at the default block so the probe
+# ALSO covers cross-block-size equivalence
+blk = 512
+if "--block" in sys.argv:
+    blk = int(sys.argv[sys.argv.index("--block") + 1])
 rng = np.random.default_rng(0)
 d = jnp.asarray(rng.standard_normal((n_atoms, atom_size)).astype(np.float32))
 sig = jnp.asarray(rng.standard_normal((batch, 1, n_samples)).astype(np.float32))
 
 a = sparse_code_fast(sig, d, n_steps=n_steps, fused=True, pipelined=True)
 b = sparse_code_fast(
-    sig, d, n_steps=n_steps, fused=True, whole_loop=True, gate_tail=True
+    sig, d, n_steps=n_steps, fused=True, whole_loop=True, gate_tail=True,
+    block=blk,
 )
 jax.block_until_ready((a.residual, b.residual))
 
@@ -82,6 +90,7 @@ for i in range(batch):
 
 rel_energy_gap = np.abs(ra - rb) / sig_e
 report = {
+    "whole_loop_block": blk,
     "items": int(batch),
     "items_with_any_divergence": int(diverged.any(axis=1).sum()),
     "median_first_divergence_step": float(np.median(first_div)),
@@ -100,5 +109,6 @@ report = {
 }
 print(json.dumps(report, indent=1), flush=True)
 os.makedirs("trained_weights", exist_ok=True)
-with open("trained_weights/kernel_parity_probe.json", "w") as f:
+suffix = "" if blk == 512 else f"_b{blk}"
+with open(f"trained_weights/kernel_parity_probe{suffix}.json", "w") as f:
     json.dump(report, f, indent=1)

@@ -68,6 +68,7 @@ def dictionary_gram(d: jax.Array) -> jax.Array:
     static_argnames=(
         "n_steps", "block", "block_argmax", "use_pallas", "fused",
         "pipelined", "gate_tail", "whole_loop", "depth", "lane_table",
+        "inner_loop",
     ),
 )
 def sparse_code_fast(
@@ -83,6 +84,7 @@ def sparse_code_fast(
     whole_loop: bool = False,
     depth: int = 2,
     lane_table: bool = False,
+    inner_loop: bool = False,
 ) -> SparseCodeResult:
     """Drop-in fast path for ``sparse_code`` (1-channel dictionaries).
 
@@ -235,6 +237,7 @@ def sparse_code_fast(
                     depth=depth,
                     gate_tail=gate_tail,
                     interpret=interpret,
+                    inner_loop=inner_loop,
                 )
             )
             return SparseCodeResult(

@@ -874,10 +874,18 @@ def _whole_loop_kernel(
     depth: int,
     gate_tail: bool,
     interpret: bool,
+    inner_loop: bool = False,
     ablate: frozenset = frozenset(),
 ):
     """Whole-encode fused kernel: ``grid = (n_steps, n_items)`` runs the
     entire greedy loop in ONE ``pallas_call``.
+
+    ``inner_loop=True`` keeps the identical step body (``g_body``) but
+    runs it as an in-kernel ``lax.fori_loop`` over a single grid step —
+    trading Mosaic's per-grid-step dispatch/bookkeeping (measured in
+    isolation by ``scripts/grid_overhead_probe.py``) for one hardware
+    loop. Numerics, DMA pipeline structure, and prologue/epilogue
+    placement (``pl.when`` on the linear index) are unchanged.
 
     vs. :func:`pallas_fused_step_pipelined` (one call per scan step):
 
@@ -909,10 +917,7 @@ def _whole_loop_kernel(
     write-back + their drains), "gramdma" (gram-row fetch), "bmm"
     (block-max maintenance on the resident table).
     """
-    s = pl.program_id(0)
-    b = pl.program_id(1)
     B = n_items
-    g = s * B + b
     total = n_steps * B
     S = depth + 1
     N = d2_ref.shape[0]
@@ -1003,178 +1008,194 @@ def _whole_loop_kernel(
                 sems.at[slot, 2],
             ).start()
 
-    # ---- prologue: load resident state, then fill the pipeline
-    @pl.when(g == 0)
-    def _():
-        bm_load = pltpu.make_async_copy(bm_hbm, bm_res, gsems.at[0])
-        bm_load.start()
-        res_load = pltpu.make_async_copy(res_hbm, res_res, gsems.at[1])
-        res_load.start()
-        # the gram rows DMA into lanes [0, 2A) only; the [2A, upd_w) pad
-        # that the placement roll reads is zeroed ONCE here instead of
-        # every step (the per-step rewrite was measured exactness-
-        # preserving and ~free, kernel_ablation.json 'gpadzero1' — kept
-        # for the code-size win, not speed)
-        for sl in range(S):
-            gpad_scr[sl, :, 2 * A :] = jnp.zeros(
-                (N, upd_w - 2 * A), jnp.float32
+    def g_body(g):
+        s = g // B
+        b = jax.lax.rem(g, B)
+        # ---- prologue: load resident state, then fill the pipeline
+        @pl.when(g == 0)
+        def _():
+            bm_load = pltpu.make_async_copy(bm_hbm, bm_res, gsems.at[0])
+            bm_load.start()
+            res_load = pltpu.make_async_copy(res_hbm, res_res, gsems.at[1])
+            res_load.start()
+            # the gram rows DMA into lanes [0, 2A) only; the [2A, upd_w) pad
+            # that the placement roll reads is zeroed ONCE here instead of
+            # every step (the per-step rewrite was measured exactness-
+            # preserving and ~free, kernel_ablation.json 'gpadzero1' — kept
+            # for the code-size win, not speed)
+            for sl in range(S):
+                gpad_scr[sl, :, 2 * A :] = jnp.zeros(
+                    (N, upd_w - 2 * A), jnp.float32
+                )
+            bm_load.wait()
+            res_load.wait()
+            for i in range(depth):
+                prefetch(jnp.int32(i), jnp.int32(i % S))
+
+        # ---- heavy phase for linear g (slot g % S) ----
+        slot = jax.lax.rem(g, S)
+        atom = pend_i[slot, 0]
+        position = pend_i[slot, 1]
+        ws_blk = pend_i[slot, 2]
+        item = pend_i[slot, 3]
+        clipped = pend_i[slot, 4] == 1
+        value = pend_f[slot, 0]
+        ws = ws_blk * block
+        ustart = position + pad - (A - 1)
+
+        # residual surgery on the RESIDENT row (no DMA)
+        if "res" not in ablate:
+            rot = _roll(res_res[item], L - position, interpret)
+            rot = jnp.concatenate(
+                [rot[:, :A] - value * d2_ref[pl.ds(atom, 1), :], rot[:, A:]], axis=1
             )
-        bm_load.wait()
-        res_load.wait()
-        for i in range(depth):
-            prefetch(jnp.int32(i), jnp.int32(i % S))
+            restored = _roll(rot, position, interpret)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+            res_res[item] = jnp.where(lane < n_samples, restored, 0.0)
 
-    # ---- heavy phase for linear g (slot g % S) ----
-    slot = jax.lax.rem(g, S)
-    atom = pend_i[slot, 0]
-    position = pend_i[slot, 1]
-    ws_blk = pend_i[slot, 2]
-    item = pend_i[slot, 3]
-    clipped = pend_i[slot, 4] == 1
-    value = pend_f[slot, 0]
-    ws = ws_blk * block
-    ustart = position + pad - (A - 1)
+            # boundary-tail recompute (Hankel roll ladder + MXU matmul), gated
+            @pl.when(clipped)
+            def _():
+                t = res_res[item, :, n_samples - A :]
+                hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
+                shift = 1
+                while shift < A:
+                    rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
+                    hank_scr[:, :] = jnp.where(
+                        (row_ids & shift) != 0, rolled, hank_scr[:, :]
+                    )
+                    shift *= 2
+                tail_scr[slot] = jax.lax.dot_general(
+                    d2_ref[:, :],
+                    hank_scr[:, :A],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
-    # residual surgery on the RESIDENT row (no DMA)
-    if "res" not in ablate:
-        rot = _roll(res_res[item], L - position, interpret)
-        rot = jnp.concatenate(
-            [rot[:, :A] - value * d2_ref[pl.ds(atom, 1), :], rot[:, A:]], axis=1
-        )
-        restored = _roll(rot, position, interpret)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-        res_res[item] = jnp.where(lane < n_samples, restored, 0.0)
+        # gram-slice subtract into the window
+        if "gramdma" not in ablate:
+            pltpu.make_async_copy(
+                gram_hbm.at[0], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 1]
+            ).wait()
+        if "windma" not in ablate:
+            pltpu.make_async_copy(
+                fm_out.at[0, :, :upd_w], win_scr.at[slot], sems.at[slot, 2]
+            ).wait()
+        if "winvpu" not in ablate:
+            placed = _roll(gpad_scr[slot], ustart - ws, interpret)
+            win_scr[slot] = win_scr[slot] - value * placed
 
-        # boundary-tail recompute (Hankel roll ladder + MXU matmul), gated
+        if "res" not in ablate:
+            for k in range(upd_blocks):
+                for j in range(tail_nblk):
+
+                    @pl.when(clipped & (ws_blk + k == tail_blk + j))
+                    def _(k=k, j=j):
+                        win_scr[slot, :, k * block : (k + 1) * block] = tail_scr[
+                            slot, :, j * block : (j + 1) * block
+                        ]
+
+        # write-backs (waited when the slot is next reused, or at epilogue)
+        if "windma" not in ablate:
+            pltpu.make_async_copy(
+                win_scr.at[slot], fm_out.at[item, :, pl.ds(ws, upd_w)], wsems.at[slot, 0]
+            ).start()
+
         @pl.when(clipped)
         def _():
-            t = res_res[item, :, n_samples - A :]
-            hank_scr[:, :] = jnp.broadcast_to(t, (A, 2 * A))
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, 2 * A), 0)
-            shift = 1
-            while shift < A:
-                rolled = _roll(hank_scr[:, :], 2 * A - shift, interpret)
-                hank_scr[:, :] = jnp.where(
-                    (row_ids & shift) != 0, rolled, hank_scr[:, :]
-                )
-                shift *= 2
-            tail_scr[slot] = jax.lax.dot_general(
-                d2_ref[:, :],
-                hank_scr[:, :A],
-                dimension_numbers=(((1,), (1,)), ((), ())),
+            pltpu.make_async_copy(
+                tail_scr.at[slot], fm_out.at[item, :, pl.ds(tail_start, A)],
+                wsems.at[slot, 1],
+            ).start()
+
+        # block-max maintenance directly on the RESIDENT table
+        if "bmm" not in ablate:
+            wmax = jnp.max(win_scr[slot].reshape(N, upd_blocks, block), axis=-1)
+            lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 1)
+            row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 0)
+            placer = (lane_b == ws_blk + row_k).astype(jnp.float32)
+            wplaced = jax.lax.dot_general(
+                wmax,
+                placer,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
+            in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
+            bm_res[item] = jnp.where(in_win, wplaced, bm_res[item])
 
-    # gram-slice subtract into the window
-    if "gramdma" not in ablate:
-        pltpu.make_async_copy(
-            gram_hbm.at[0], gpad_scr.at[slot, :, : 2 * A], sems.at[slot, 1]
-        ).wait()
-    if "windma" not in ablate:
-        pltpu.make_async_copy(
-            fm_out.at[0, :, :upd_w], win_scr.at[slot], sems.at[slot, 2]
-        ).wait()
-    if "winvpu" not in ablate:
-        placed = _roll(gpad_scr[slot], ustart - ws, interpret)
-        win_scr[slot] = win_scr[slot] - value * placed
+            @pl.when(clipped)
+            def _():
+                tmax = jnp.max(tail_scr[slot].reshape(N, tail_nblk, block), axis=-1)
+                tplaced = jnp.concatenate(
+                    [
+                        jnp.zeros((N, tail_blk), jnp.float32),
+                        tmax,
+                        jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
+                    ],
+                    axis=1,
+                )
+                in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
+                bm_res[item] = jnp.where(in_tail, tplaced, bm_res[item])
 
-    if "res" not in ablate:
-        for k in range(upd_blocks):
-            for j in range(tail_nblk):
+        # events: masked row write at (step s, lane b)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        hit = lane128 == b
+        ev_atom[s] = jnp.where(hit, atom, ev_atom[s])
+        ev_pos[s] = jnp.where(hit, position, ev_pos[s])
+        ev_val[s] = jnp.where(hit, value, ev_val[s])
 
-                @pl.when(clipped & (ws_blk + k == tail_blk + j))
-                def _(k=k, j=j):
-                    win_scr[slot, :, k * block : (k + 1) * block] = tail_scr[
-                        slot, :, j * block : (j + 1) * block
-                    ]
-
-    # write-backs (waited when the slot is next reused, or at epilogue)
-    if "windma" not in ablate:
-        pltpu.make_async_copy(
-            win_scr.at[slot], fm_out.at[item, :, pl.ds(ws, upd_w)], wsems.at[slot, 0]
-        ).start()
-
-    @pl.when(clipped)
-    def _():
-        pltpu.make_async_copy(
-            tail_scr.at[slot], fm_out.at[item, :, pl.ds(tail_start, A)],
-            wsems.at[slot, 1],
-        ).start()
-
-    # block-max maintenance directly on the RESIDENT table
-    if "bmm" not in ablate:
-        wmax = jnp.max(win_scr[slot].reshape(N, upd_blocks, block), axis=-1)
-        lane_b = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 1)
-        row_k = jax.lax.broadcasted_iota(jnp.int32, (upd_blocks, nb_pad), 0)
-        placer = (lane_b == ws_blk + row_k).astype(jnp.float32)
-        wplaced = jax.lax.dot_general(
-            wmax,
-            placer,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        lane_n = jax.lax.broadcasted_iota(jnp.int32, (N, nb_pad), 1)
-        in_win = (lane_n >= ws_blk) & (lane_n < ws_blk + upd_blocks)
-        bm_res[item] = jnp.where(in_win, wplaced, bm_res[item])
-
-        @pl.when(clipped)
+        # ---- steady-state prefetch
+        @pl.when(g + depth < total)
         def _():
-            tmax = jnp.max(tail_scr[slot].reshape(N, tail_nblk, block), axis=-1)
-            tplaced = jnp.concatenate(
-                [
-                    jnp.zeros((N, tail_blk), jnp.float32),
-                    tmax,
-                    jnp.zeros((N, nb_pad - tail_blk - tail_nblk), jnp.float32),
-                ],
-                axis=1,
-            )
-            in_tail = (lane_n >= tail_blk) & (lane_n < tail_blk + tail_nblk)
-            bm_res[item] = jnp.where(in_tail, tplaced, bm_res[item])
+            prefetch(g + depth, jax.lax.rem(g + depth, S))
 
-    # events: masked row write at (step s, lane b)
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    hit = lane128 == b
-    ev_atom[s] = jnp.where(hit, atom, ev_atom[s])
-    ev_pos[s] = jnp.where(hit, position, ev_pos[s])
-    ev_val[s] = jnp.where(hit, value, ev_val[s])
+        # ---- epilogue: drain every slot's write-backs, store resident state
+        @pl.when(g == total - 1)
+        def _():
+            for sl in range(S):
+                if "windma" not in ablate:
+                    pltpu.make_async_copy(
+                        win_scr.at[sl], fm_out.at[0, :, :upd_w], wsems.at[sl, 0]
+                    ).wait()
 
-    # ---- steady-state prefetch
-    @pl.when(g + depth < total)
-    def _():
-        prefetch(g + depth, jax.lax.rem(g + depth, S))
+                @pl.when(pend_i[sl, 4] == 1)
+                def _(sl=sl):
+                    pltpu.make_async_copy(
+                        tail_scr.at[sl], fm_out.at[0, :, :A], wsems.at[sl, 1]
+                    ).wait()
 
-    # ---- epilogue: drain every slot's write-backs, store resident state
-    @pl.when(g == total - 1)
-    def _():
-        for sl in range(S):
-            if "windma" not in ablate:
-                pltpu.make_async_copy(
-                    win_scr.at[sl], fm_out.at[0, :, :upd_w], wsems.at[sl, 0]
-                ).wait()
+            bm_store = pltpu.make_async_copy(bm_res, bm_out, gsems.at[0])
+            bm_store.start()
+            res_store = pltpu.make_async_copy(res_res, res_out, gsems.at[1])
+            res_store.start()
+            ev_dmas = [
+                pltpu.make_async_copy(ev_atom, atom_out, gsems.at[2]),
+                pltpu.make_async_copy(ev_pos, pos_out, gsems.at[3]),
+            ]
+            for dma in ev_dmas:
+                dma.start()
+            bm_store.wait()
+            res_store.wait()
+            for dma in ev_dmas:
+                dma.wait()
+            val_dma = pltpu.make_async_copy(ev_val, val_out, gsems.at[2])
+            val_dma.start()
+            val_dma.wait()
 
-            @pl.when(pend_i[sl, 4] == 1)
-            def _(sl=sl):
-                pltpu.make_async_copy(
-                    tail_scr.at[sl], fm_out.at[0, :, :A], wsems.at[sl, 1]
-                ).wait()
+    if inner_loop:
+        # ONE grid step: the greedy loop runs as an in-kernel
+        # hardware loop, removing the per-grid-step Mosaic dispatch/
+        # bookkeeping cost (scripts/grid_overhead_probe.py measures
+        # it in isolation); numerics and pipeline structure identical
+        def _iter(i, c):
+            g_body(i)
+            return c
 
-        bm_store = pltpu.make_async_copy(bm_res, bm_out, gsems.at[0])
-        bm_store.start()
-        res_store = pltpu.make_async_copy(res_res, res_out, gsems.at[1])
-        res_store.start()
-        ev_dmas = [
-            pltpu.make_async_copy(ev_atom, atom_out, gsems.at[2]),
-            pltpu.make_async_copy(ev_pos, pos_out, gsems.at[3]),
-        ]
-        for dma in ev_dmas:
-            dma.start()
-        bm_store.wait()
-        res_store.wait()
-        for dma in ev_dmas:
-            dma.wait()
-        val_dma = pltpu.make_async_copy(ev_val, val_out, gsems.at[2])
-        val_dma.start()
-        val_dma.wait()
+        jax.lax.fori_loop(0, total, _iter, 0)
+    else:
+        g_body(pl.program_id(0) * B + pl.program_id(1))
 
 
 @partial(
@@ -1191,6 +1212,7 @@ def _whole_loop_kernel(
         "depth",
         "gate_tail",
         "interpret",
+        "inner_loop",
         "ablate",
     ),
 )
@@ -1212,6 +1234,7 @@ def pallas_fused_encode(
     depth: int = 2,
     gate_tail: bool = True,
     interpret: bool = False,
+    inner_loop: bool = False,
     ablate: tuple = (),
 ):
     """Whole-encode fused greedy MP (see ``_whole_loop_kernel``). Returns
@@ -1233,7 +1256,7 @@ def pallas_fused_encode(
         pl.BlockSpec(memory_space=pl.ANY),  # gram
         pl.BlockSpec(memory_space=pl.ANY),  # residual
         pl.BlockSpec(memory_space=pl.ANY),  # bm
-        pl.BlockSpec((N, A), lambda s, b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, A), lambda *_: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # fm (aliased)
@@ -1258,12 +1281,13 @@ def pallas_fused_encode(
         depth=depth,
         gate_tail=gate_tail,
         interpret=interpret,
+        inner_loop=inner_loop,
         ablate=frozenset(ablate),
     )
 
     fm2, res2, bm2, atom, pos, val = pl.pallas_call(
         kernel,
-        grid=(n_steps, B),
+        grid=(1,) if inner_loop else (n_steps, B),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[

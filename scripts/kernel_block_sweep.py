@@ -68,6 +68,10 @@ VARIANTS = [
     ("whole128", dict(block=128, whole_loop=True, depth=2)),
     ("whole256", dict(block=256, whole_loop=True, depth=2)),
     ("whole512", dict(block=512, whole_loop=True, depth=2)),
+    # in-kernel fori_loop over ONE grid step (grid-dispatch overhead
+    # hypothesis — see scripts/grid_overhead_probe.py)
+    ("whole128fori", dict(block=128, whole_loop=True, depth=2,
+                          inner_loop=True)),
 ]
 for name, kw in VARIANTS:
     coder = jax.jit(

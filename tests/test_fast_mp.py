@@ -237,6 +237,17 @@ def test_whole_loop_encode_matches_per_step_scan():
         np.testing.assert_array_equal(
             np.asarray(a.residual), np.asarray(b.residual)
         )
+        # inner_loop=True runs the SAME g_body as an in-kernel fori_loop
+        # over one grid step (no per-grid-step Mosaic dispatch) — must
+        # stay bit-identical too
+        c = sparse_code_fast(
+            sigj, d, n_steps=9, block=128, fused=True, whole_loop=True,
+            inner_loop=True,
+        )
+        _assert_same_events(a, c)
+        np.testing.assert_array_equal(
+            np.asarray(a.residual), np.asarray(c.residual)
+        )
     # batch below depth+1 falls back to the per-step scan (still correct)
     sig1 = planted(2)
     a = sparse_code_fast(sig1, d, n_steps=7, block=128, fused=True)

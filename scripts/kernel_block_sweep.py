@@ -73,6 +73,14 @@ VARIANTS = [
     ("whole128fori", dict(block=128, whole_loop=True, depth=2,
                           inner_loop=True)),
 ]
+# SWEEP_ONLY=name1,name2 narrows the run (e.g. a contention-matched A/B
+# in a short TPU window between training runs); the JSON then MERGES
+# into any existing sweep file instead of replacing it
+only = os.environ.get("SWEEP_ONLY", "")
+if only:
+    keep = {n.strip() for n in only.split(",") if n.strip()}
+    VARIANTS = [(n, kw) for n, kw in VARIANTS if n in keep]
+    print(f"SWEEP_ONLY -> {[n for n, _ in VARIANTS]}", flush=True)
 for name, kw in VARIANTS:
     coder = jax.jit(
         lambda s, dd, kw=kw: sparse_code_fast(
@@ -131,14 +139,24 @@ for name, kw in VARIANTS:
     )
 
 os.makedirs("trained_weights", exist_ok=True)
-with open("trained_weights/kernel_block_sweep.json", "w") as f:
+out_path = "trained_weights/kernel_block_sweep.json"
+merged = results
+if only and os.path.exists(out_path):
+    try:
+        with open(out_path) as f:
+            prior = json.load(f).get("results", {})
+        prior.update(results)
+        merged = prior
+    except Exception:
+        pass
+with open(out_path, "w") as f:
     json.dump(
         {
             "config": dict(
                 batch=batch, atoms=n_atoms, atom_size=atom_size,
                 n_samples=n_samples, steps=n_steps,
             ),
-            "results": results,
+            "results": merged,
         },
         f,
         indent=2,

@@ -170,6 +170,31 @@ def main():
         raise SystemExit("no runs with eval trajectories found")
 
     components = []
+    # training-loss panel: on a FRESH corpus every batch is unseen, so
+    # the (smoothed) training loss is itself a generalization loss —
+    # plotted first, against the fixed run's memorization curve
+    loss_series = []
+    for label, color, _, m in runs:
+        pts = m.get("losses", [])
+        if len(pts) < 8:
+            continue
+        xs = np.asarray([p[0] for p in pts], float)
+        ys = np.asarray([p[1] for p in pts], float)
+        k = max(1, len(ys) // 60)  # ~60 plotted points
+        n = (len(ys) // k) * k
+        xs = xs[:n].reshape(-1, k).mean(axis=1)
+        ys = ys[:n].reshape(-1, k).mean(axis=1)
+        loss_series.append((label, color, xs.tolist(), ys.tolist()))
+    if loss_series:
+        components.append(
+            _Raw(
+                line_chart_svg(
+                    loss_series,
+                    "Training loss, block-averaged (fresh corpus: every "
+                    "batch unseen => this IS a generalization loss)",
+                )
+            )
+        )
     for key, title in METRICS:
         series = []
         for label, color, evals, _ in runs:

@@ -16,6 +16,14 @@
 #   DEADLINE_EPOCH=... scripts/sw5_launch.sh
 # Never under `timeout`; the trainer self-bounds via --watchdog-s.
 cd "$(dirname "${BASH_SOURCE[0]}")/.." || exit 1
+# Round-4 session budget ends ~12:21 UTC 2026-08-20 (PROGRESS.jsonl round
+# start 00:21 + 12 h). Cap the deadline at 12:00 UTC so the chip is free
+# for the end-of-round judged bench even if the caller passed a later
+# (stale) DEADLINE_EPOCH from an earlier session.
+ROUND_END=1787227200
+if [ -z "${DEADLINE_EPOCH:-}" ] || [ "${DEADLINE_EPOCH}" -gt "$ROUND_END" ]; then
+  export DEADLINE_EPOCH="$ROUND_END"
+fi
 nohup scripts/babysit.sh /tmp/sw5.log 6 -- python scripts/siam_overfit.py \
   --stream-windows 3 --audio-events 12 --seed 3 \
   --waveform-weight 2000 --fixed-noise --switch-bias-init 1.0 \

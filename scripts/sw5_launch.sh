@@ -16,11 +16,14 @@
 #   DEADLINE_EPOCH=... scripts/sw5_launch.sh
 # Never under `timeout`; the trainer self-bounds via --watchdog-s.
 cd "$(dirname "${BASH_SOURCE[0]}")/.." || exit 1
-# Round-4 session budget ends ~12:21 UTC 2026-08-20 (PROGRESS.jsonl round
-# start 00:21 + 12 h). Cap the deadline at 12:00 UTC so the chip is free
-# for the end-of-round judged bench even if the caller passed a later
-# (stale) DEADLINE_EPOCH from an earlier session.
-ROUND_END=1787227200
+# Cap the deadline so the chip is free for the end-of-round judged
+# bench even if the caller passed a later (stale) DEADLINE_EPOCH from an
+# earlier session. The round clock RESTARTS when the VM resets (the
+# 2026-08-20 09:07 reset moved round-4's end from the assumed 12:21 to
+# ~1 h after the new PROGRESS.jsonl start) — so the cap must come from
+# the CALLER's current knowledge, not a baked-in epoch. Default keeps
+# the old value only as a backstop.
+ROUND_END="${ROUND_END:-1787227200}"
 if [ -z "${DEADLINE_EPOCH:-}" ] || [ "${DEADLINE_EPOCH}" -gt "$ROUND_END" ]; then
   export DEADLINE_EPOCH="$ROUND_END"
 fi

@@ -67,12 +67,19 @@ jax.block_until_ready((a.residual, b.residual))
 sig_e = np.asarray(jnp.sum(sig**2, axis=(1, 2)))
 ra = np.asarray(jnp.sum(a.residual**2, axis=(1, 2)))
 rb = np.asarray(jnp.sum(b.residual**2, axis=(1, 2)))
-idx_a = np.asarray(a.atom_indices)
-idx_b = np.asarray(b.atom_indices)
-pos_a = np.asarray(a.positions)
-pos_b = np.asarray(b.positions)
-val_a = np.asarray(a.values)
-val_b = np.asarray(b.values)
+# SparseCodeResult event arrays are (n_steps, batch) — see
+# mptpu/sparse/matching_pursuit.py:45 — transpose to (batch, n_steps)
+# so the per-item reductions below reduce over STEPS. (The original
+# probe reduced over the wrong axis; at block 512 every entry was
+# identical so the bug was invisible, but a cross-block run counted
+# per-STEP divergence and paired val_a[step, item] mismatches into a
+# spurious 0.27 dB "score gap".)
+idx_a = np.asarray(a.atom_indices).T
+idx_b = np.asarray(b.atom_indices).T
+pos_a = np.asarray(a.positions).T
+pos_b = np.asarray(b.positions).T
+val_a = np.asarray(a.values).T
+val_b = np.asarray(b.values).T
 
 # per-item first step where the two engines picked different events
 diverged = (idx_a != idx_b) | (pos_a != pos_b)

@@ -554,6 +554,17 @@ def main():
     lr_mult = 1.0
     worst_window = -1  # --balance-windows target; set at each eval
     gnorm_hist: list[float] = []
+    # cliff hygiene (sw5 storm, 2026-08-20): at full config the iter-153
+    # cliff announced itself as THREE consecutive tolerated spikes
+    # (gnorm 7e5 -> 1.3e8 -> 6.5e11) and the 50-step snapshot refreshed
+    # AT the spike (iter 150), so every rollback restored the cliff's
+    # edge and the storm never escaped (13 rollbacks to the same two
+    # steps, lr_mult 1e-4, inf gradients at every retry). Two guards:
+    # consecutive spikes are treated as poisoning (a single spike
+    # self-heals, r3c; an escalating train does not), and the snapshot
+    # only refreshes after a spike-free window.
+    last_spike_iter = -(10**9)
+    consec_spikes = 0
     # divergence insurance: snapshot (refs, zero copy cost) of the last
     # params/opt_state whose HEALTH WAS VERIFIED (finite forward AND
     # sched_max well below the switch clamp). The first r3 run's eval
@@ -717,12 +728,26 @@ def main():
         # past the absolute catastrophe threshold; the 50-step snapshot
         # check separately catches a switch riding its clamp.
         bad = (not np.isfinite(l)) or l > args.spike_thresh or not bool(ok)
+        if spiked:
+            last_spike_iter = ci
         if spiked and not bad:
-            print(
-                f"iter {ci} transient spike tolerated: loss {l:.2f} "
-                f"gnorm {g:.1f}",
-                flush=True,
-            )
+            consec_spikes += 1
+            if consec_spikes >= 2:
+                print(
+                    f"iter {ci} consecutive spike #{consec_spikes} "
+                    f"(gnorm {g:.1f}) — escalating cliff, treating as "
+                    f"poisoning",
+                    flush=True,
+                )
+                bad = True
+            else:
+                print(
+                    f"iter {ci} transient spike tolerated: loss {l:.2f} "
+                    f"gnorm {g:.1f}",
+                    flush=True,
+                )
+        elif not bad:
+            consec_spikes = 0
         if bad:
             print(
                 f"iter {ci} BAD: loss {l:.2f} gnorm {g:.1f} ok {bool(ok)} "
@@ -763,7 +788,18 @@ def main():
                 noise_key if args.fixed_noise else jax.random.PRNGKey(7),
                 faded_target, target,
             )
-            if float(snap_sched) < 0.8 * args.switch_clamp:
+            at_clamp = float(snap_sched) >= 0.8 * args.switch_clamp
+            if not at_clamp and i - last_spike_iter < 50:
+                # state is healthy by the forward check but a gradient
+                # spike fired within the snapshot period — the sw5 storm
+                # proved such states can sit at a cliff's edge; keep the
+                # older snapshot so rollback lands BEHIND the cliff
+                print(
+                    f"iter {i} snapshot deferred (spike at "
+                    f"{last_spike_iter})",
+                    flush=True,
+                )
+            elif not at_clamp:
                 good = (params, opt_state, i)
                 # a NEW healthy snapshot is forward progress: the abort
                 # counter tracks CONSECUTIVE failures from one state

@@ -564,7 +564,7 @@ def main():
     # self-heals, r3c; an escalating train does not), and the snapshot
     # only refreshes after a spike-free window.
     last_spike_iter = -(10**9)
-    consec_spikes = 0
+    snap_candidate = None  # (params, opt_state, i) awaiting a clean period
     # divergence insurance: snapshot (refs, zero copy cost) of the last
     # params/opt_state whose HEALTH WAS VERIFIED (finite forward AND
     # sched_max well below the switch clamp). The first r3 run's eval
@@ -579,7 +579,11 @@ def main():
 
     def rollback(i):
         nonlocal params, opt_state, ema, lr_mult, rollbacks, good_streak, \
-            gnorm_hist, perturb_until, last_rb_step, total_rollbacks
+            gnorm_hist, perturb_until, last_rb_step, total_rollbacks, \
+            snap_candidate
+        # a candidate from the abandoned trajectory must never be
+        # promoted after the restore
+        snap_candidate = None
         params, opt_state, good_step = good
         ema = params  # drop a possibly-poisoned average
         lr_mult *= 0.5
@@ -729,25 +733,26 @@ def main():
         # check separately catches a switch riding its clamp.
         bad = (not np.isfinite(l)) or l > args.spike_thresh or not bool(ok)
         if spiked:
+            # sw5b measured the cliff's cadence: spikes land every ~3
+            # checks (150, 153, 156 — clean steps between), so a strict
+            # consecutive counter never reached 2. Two spikes within a
+            # 12-check window is the poisoning signature instead.
+            near_prev = ci - last_spike_iter <= 12
             last_spike_iter = ci
-        if spiked and not bad:
-            consec_spikes += 1
-            if consec_spikes >= 2:
+            if not bad and near_prev:
                 print(
-                    f"iter {ci} consecutive spike #{consec_spikes} "
+                    f"iter {ci} second spike within 12 steps "
                     f"(gnorm {g:.1f}) — escalating cliff, treating as "
                     f"poisoning",
                     flush=True,
                 )
                 bad = True
-            else:
+            elif not bad:
                 print(
                     f"iter {ci} transient spike tolerated: loss {l:.2f} "
                     f"gnorm {g:.1f}",
                     flush=True,
                 )
-        elif not bad:
-            consec_spikes = 0
         if bad:
             print(
                 f"iter {ci} BAD: loss {l:.2f} gnorm {g:.1f} ok {bool(ok)} "
@@ -789,23 +794,34 @@ def main():
                 faded_target, target,
             )
             at_clamp = float(snap_sched) >= 0.8 * args.switch_clamp
-            if not at_clamp and i - last_spike_iter < 50:
-                # state is healthy by the forward check but a gradient
-                # spike fired within the snapshot period — the sw5 storm
-                # proved such states can sit at a cliff's edge; keep the
-                # older snapshot so rollback lands BEHIND the cliff
-                print(
-                    f"iter {i} snapshot deferred (spike at "
-                    f"{last_spike_iter})",
-                    flush=True,
-                )
-            elif not at_clamp:
-                good = (params, opt_state, i)
-                # a NEW healthy snapshot is forward progress: the abort
-                # counter tracks CONSECUTIVE failures from one state
-                # (medium2 aborted on 12 rollbacks accumulated over
-                # 3.3k healthy steps — not persistent divergence)
-                rollbacks = 0
+            if not at_clamp:
+                # sw5b measured the one-step stat lag defeating a naive
+                # spike gate: the iter-150 snapshot refreshed BEFORE
+                # iter 150's own spike stats were processed, so every
+                # rollback restored the cliff's edge. Snapshots now
+                # promote with a full period of hindsight: the state
+                # taken at the PREVIOUS 50-iter boundary becomes the
+                # rollback target only once its whole window proved
+                # spike-free.
+                if (
+                    snap_candidate is not None
+                    and last_spike_iter < snap_candidate[2]
+                ):
+                    good = snap_candidate
+                    # a NEW healthy snapshot is forward progress: the
+                    # abort counter tracks CONSECUTIVE failures from one
+                    # state (medium2 aborted on 12 rollbacks accumulated
+                    # over 3.3k healthy steps — not persistent
+                    # divergence)
+                    rollbacks = 0
+                elif snap_candidate is not None:
+                    print(
+                        f"iter {i} snapshot candidate from iter "
+                        f"{snap_candidate[2]} discarded (spike at "
+                        f"{last_spike_iter})",
+                        flush=True,
+                    )
+                snap_candidate = (params, opt_state, i)
             else:
                 # a switch riding its clamp IS poisoning (r3 run #1's
                 # failure mode) even while the loss still looks finite

@@ -49,6 +49,8 @@ from mptpu.models.siam import (
 )
 from mptpu.train import optimizer, trust_ratio_clip, CheckpointManager
 from mptpu.train.checkpoint import save_checkpoint
+from mptpu.train.guard import StormGuard
+from mptpu.utils.jsonio import dump_json
 from mptpu.utils.wav import write_wav
 
 
@@ -278,6 +280,18 @@ def main():
                         "optimizer instability, not a better optimum; this "
                         "makes progress monotone-ish under it")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--commit-artifacts", action="store_true",
+                   help="git-commit metrics.json (every eval) and the "
+                        "best-checkpoint pkls (rate-limited, 15 min) so "
+                        "a VM reset cannot destroy a finished run "
+                        "(ROADMAP round-4 artifact-loss policy)")
+    p.add_argument("--holdout-eval", action="store_true",
+                   help="also score an UNSEEN dense-synthetic segment "
+                        "(seed space disjoint from --seed) at every "
+                        "eval: holdout first-half SNR/LSD/PIF ride in "
+                        "the eval series, so full-config runs measure "
+                        "the generalization trajectory for free "
+                        "(VERDICT r4 item 6)")
     p.add_argument("--init-from", type=str, default=None,
                    help="load PARAMS (not opt state or step) from this "
                         "checkpoint file before training — e.g. warm-"
@@ -347,6 +361,18 @@ def main():
     ).reshape(n_win, 1, 1, n_samples)
     target = targets[0]
     write_wav(os.path.join(args.out, "target.wav"), seg, 22050)
+
+    holdout = None
+    if args.holdout_eval:
+        # UNSEEN content: same generator, seed space disjoint from any
+        # plausible --seed (the quality runs' holdout convention,
+        # scripts/siam_quality.py seed_offset=1000) — scored but never
+        # trained on, so full-config runs chart generalization for free
+        ho_seg = synthetic_audio(
+            n_samples, 22050, n_events=base_events,
+            seed=args.seed + 100000, sustained=True,
+        )
+        holdout = jnp.asarray(ho_seg).reshape(1, 1, n_samples)
 
     key = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(key, target, key)
@@ -539,7 +565,41 @@ def main():
 
     def write_metrics():
         with open(os.path.join(args.out, "metrics.json"), "w") as f:
-            json.dump(metrics, f, indent=1)
+            dump_json(metrics, f, indent=1)
+        commit_artifacts()
+
+    last_artifact_commit = [0.0]
+
+    def commit_artifacts(paths=(), force=False):
+        """--commit-artifacts: the repo is the only storage that
+        survives VM resets (two resets have each destroyed finished-run
+        artifacts — ROADMAP.md round-4 policy, VERDICT r4 item 5).
+        metrics.json rides along every eval write; checkpoints are
+        rate-limited to one commit per 15 min."""
+        if not args.commit_artifacts:
+            return
+        import subprocess
+
+        now = time.time()
+        to_add = [os.path.join(args.out, "metrics.json")]
+        slog = os.path.join(args.out, "storm.log")
+        if os.path.exists(slog):
+            to_add.append(slog)
+        if paths and (force or now - last_artifact_commit[0] > 900):
+            to_add += [p for p in paths if os.path.exists(p)]
+            last_artifact_commit[0] = now
+        try:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            subprocess.run(["git", "-C", repo, "add", "-f"] + to_add,
+                           check=False, capture_output=True, timeout=60)
+            r = subprocess.run(
+                ["git", "-C", repo, "commit", "-q", "-m",
+                 f"run artifacts: {os.path.basename(args.out)} step {last_i}"],
+                check=False, capture_output=True, timeout=60,
+            )
+            _ = r
+        except Exception as e:  # never let bookkeeping kill a run
+            print(f"commit_artifacts failed: {e}", flush=True)
 
     run_start = time.perf_counter()
     best_snr = -np.inf
@@ -547,50 +607,41 @@ def main():
     best_artifact = -np.inf  # best recon saved to disk (params OR ema)
     best_ema = -np.inf       # best EMA state (its own checkpoint file)
     nan_steps = 0
-    rollbacks = 0  # CONSECUTIVE (reset on each new healthy snapshot)
-    total_rollbacks = 0
     regress_rollbacks = 0
     good_streak = 0
     lr_mult = 1.0
     worst_window = -1  # --balance-windows target; set at each eval
-    gnorm_hist: list[float] = []
-    # cliff hygiene (sw5 storm, 2026-08-20): at full config the iter-153
-    # cliff announced itself as THREE consecutive tolerated spikes
-    # (gnorm 7e5 -> 1.3e8 -> 6.5e11) and the 50-step snapshot refreshed
-    # AT the spike (iter 150), so every rollback restored the cliff's
-    # edge and the storm never escaped (13 rollbacks to the same two
-    # steps, lr_mult 1e-4, inf gradients at every retry). Two guards:
-    # consecutive spikes are treated as poisoning (a single spike
-    # self-heals, r3c; an escalating train does not), and the snapshot
-    # only refreshes after a spike-free window.
-    last_spike_iter = -(10**9)
-    snap_candidate = None  # (params, opt_state, i) awaiting a clean period
-    # divergence insurance: snapshot (refs, zero copy cost) of the last
-    # params/opt_state whose HEALTH WAS VERIFIED (finite forward AND
-    # sched_max well below the switch clamp). The first r3 run's eval
-    # snapshot captured already-poisoned params (loss 44.78 looked fine
-    # while sched_max sat at the clamp and SNR was -24.9 dB), so a
-    # healthy-looking loss is NOT a sufficient snapshot condition.
-    good = (params, opt_state, start_step)
+    # Storm policy lives in mptpu.train.guard.StormGuard (extracted from
+    # this script's inline sw5-era logic so the cliff machinery is unit-
+    # testable — tests/test_storm_guard.py replays the sw5 storm cadence
+    # deterministically; VERDICT r4 item 7). The guard owns spike
+    # classification, hindsight snapshot promotion, and the consecutive-
+    # rollback abort counter; this loop owns the expensive restores.
+    guard = StormGuard(
+        grad_clip=args.grad_clip, loss_catastrophe=args.spike_thresh
+    )
+    # divergence insurance seed: snapshot (refs, zero copy cost) of the
+    # starting params/opt_state. Later targets require VERIFIED health
+    # (finite forward AND sched_max well below the switch clamp): the
+    # first r3 run's eval snapshot captured already-poisoned params
+    # (loss 44.78 looked fine while sched_max sat at the clamp and SNR
+    # was -24.9 dB), so a healthy-looking loss is NOT sufficient.
+    guard.set_initial((params, opt_state), start_step)
     # separate snapshot for eval-SNR regression recovery: the 50-step
     # health snapshot above accepts any finite/clamp-clear state, which
     # after a collapse is exactly the silent state we must NOT return to
     best_eval = (params, opt_state, start_step)
 
     def rollback(i):
-        nonlocal params, opt_state, ema, lr_mult, rollbacks, good_streak, \
-            gnorm_hist, perturb_until, last_rb_step, total_rollbacks, \
-            snap_candidate
-        # a candidate from the abandoned trajectory must never be
-        # promoted after the restore
-        snap_candidate = None
-        params, opt_state, good_step = good
+        """Restore the guard's rollback target. Returns True on abort
+        (consecutive-failure budget exhausted)."""
+        nonlocal params, opt_state, ema, lr_mult, good_streak, \
+            perturb_until, last_rb_step
+        (params, opt_state), good_step = guard.rollback_target()
+        abort = guard.note_rollback()
         ema = params  # drop a possibly-poisoned average
         lr_mult *= 0.5
-        rollbacks += 1
-        total_rollbacks += 1
         good_streak = 0
-        gnorm_hist = []
         extra = ""
         if good_step == last_rb_step and args.fixed_noise:
             # repeat rollback to the SAME snapshot: under --fixed-noise
@@ -607,10 +658,11 @@ def main():
         for k in range(len(handoff_tails)):
             handoff_tails[k] = None
         print(
-            f"ROLLBACK #{total_rollbacks} at iter {i} to step {good_step}; "
-            f"lr_mult -> {lr_mult:g}{extra}",
+            f"ROLLBACK #{guard.total_rollbacks} at iter {i} to step "
+            f"{good_step}; lr_mult -> {lr_mult:g}{extra}",
             flush=True,
         )
+        return abort
 
     last_i = start_step
     # EMA restarts from the (possibly resumed) params — it is an
@@ -714,62 +766,37 @@ def main():
         l = float(loss)
         g = float(gnorm)
         nan_steps += int(not bool(ok))
-        # relative AND absolute: early training legitimately grows gnorm
-        # 10-20x as the model warms up, so a pure-relative trigger would
-        # fire spuriously; the r3 explosion was 30x relative AND 50x the
-        # clip level
-        spiked = (
-            len(gnorm_hist) >= 10
-            and g > 20.0 * float(np.median(gnorm_hist))
-            and g > 10.0 * args.grad_clip
-        )
-        # transient FINITE spikes are tolerated: updates are global-norm
-        # clipped, so one spiked step moves params no further than any
-        # other step, and the r3c run proved spikes self-heal (loss
-        # 609 -> -125 after a single step). Rolling back on them killed
-        # the run at 1.49 dB while `wave` was still descending. Rollback
-        # is reserved for actual poisoning: non-finite stats or a loss
-        # past the absolute catastrophe threshold; the 50-step snapshot
-        # check separately catches a switch riding its clamp.
-        bad = (not np.isfinite(l)) or l > args.spike_thresh or not bool(ok)
-        if spiked:
-            # sw5b measured the cliff's cadence: spikes land every ~3
-            # checks (150, 153, 156 — clean steps between), so a strict
-            # consecutive counter never reached 2. Two spikes within a
-            # 12-check window is the poisoning signature instead.
-            near_prev = ci - last_spike_iter <= 12
-            last_spike_iter = ci
-            if not bad and near_prev:
-                print(
-                    f"iter {ci} second spike within 12 steps "
-                    f"(gnorm {g:.1f}) — escalating cliff, treating as "
-                    f"poisoning",
-                    flush=True,
-                )
-                bad = True
-            elif not bad:
-                print(
-                    f"iter {ci} transient spike tolerated: loss {l:.2f} "
-                    f"gnorm {g:.1f}",
-                    flush=True,
-                )
-        if bad:
+        # spike/poisoning taxonomy (relative+absolute trigger, tolerated
+        # singles, two-in-12 escalation): StormGuard docstring; the
+        # thresholds and their provenance runs are documented there
+        verdict = guard.classify(ci, l, g, bool(ok))
+        if verdict == StormGuard.SPIKE:
             print(
-                f"iter {ci} BAD: loss {l:.2f} gnorm {g:.1f} ok {bool(ok)} "
-                f"spiked {spiked}",
+                f"iter {ci} transient spike tolerated: loss {l:.2f} "
+                f"gnorm {g:.1f}",
                 flush=True,
             )
-            rollback(ci)
+        elif verdict == StormGuard.BAD:
+            if guard.last_escalation_iter == ci:
+                print(
+                    f"iter {ci} second spike within "
+                    f"{guard.near_window} steps (gnorm {g:.1f}) — "
+                    f"escalating cliff, treating as poisoning",
+                    flush=True,
+                )
+            print(
+                f"iter {ci} BAD: loss {l:.2f} gnorm {g:.1f} "
+                f"ok {bool(ok)}",
+                flush=True,
+            )
+            aborted = rollback(ci)
             # the in-flight step's stats describe pre-rollback params;
             # checking them next iteration would re-trigger immediately
             pending = None
-            if rollbacks >= 12:
+            if aborted:
                 print("ABORT: persistent divergence", flush=True)
                 break
             continue
-        gnorm_hist.append(g)
-        if len(gnorm_hist) > 40:
-            gnorm_hist.pop(0)
         good_streak += 1
         if good_streak >= 250 and lr_mult < 1.0:
             lr_mult = min(1.0, lr_mult * 2.0)
@@ -795,33 +822,29 @@ def main():
             )
             at_clamp = float(snap_sched) >= 0.8 * args.switch_clamp
             if not at_clamp:
-                # sw5b measured the one-step stat lag defeating a naive
-                # spike gate: the iter-150 snapshot refreshed BEFORE
-                # iter 150's own spike stats were processed, so every
-                # rollback restored the cliff's edge. Snapshots now
-                # promote with a full period of hindsight: the state
-                # taken at the PREVIOUS 50-iter boundary becomes the
-                # rollback target only once its whole window proved
-                # spike-free.
-                if (
-                    snap_candidate is not None
-                    and last_spike_iter < snap_candidate[2]
-                ):
-                    good = snap_candidate
-                    # a NEW healthy snapshot is forward progress: the
-                    # abort counter tracks CONSECUTIVE failures from one
-                    # state (medium2 aborted on 12 rollbacks accumulated
-                    # over 3.3k healthy steps — not persistent
-                    # divergence)
-                    rollbacks = 0
-                elif snap_candidate is not None:
+                # hindsight snapshot promotion (sw5: a snapshot captured
+                # mid-spike trapped every rollback at the cliff's edge;
+                # promotion waits a full boundary window, isolated
+                # single spikes don't block it) — StormGuard docstring
+                ev = guard.healthy_boundary(i, (params, opt_state))
+                if ev.startswith("promoted"):
                     print(
-                        f"iter {i} snapshot candidate from iter "
-                        f"{snap_candidate[2]} discarded (spike at "
-                        f"{last_spike_iter})",
+                        f"iter {i} hindsight snapshot promoted "
+                        f"(rollback target now step {guard.good[1]})",
                         flush=True,
                     )
-                snap_candidate = (params, opt_state, i)
+                elif ev.startswith("discarded"):
+                    print(
+                        f"iter {i} snapshot candidate discarded "
+                        f"(escalation at {guard.last_escalation_iter})",
+                        flush=True,
+                    )
+                if ev.endswith("+deferred"):
+                    print(
+                        f"iter {i} candidate capture deferred (spike at "
+                        f"{guard.last_spike_iter})",
+                        flush=True,
+                    )
             else:
                 # a switch riding its clamp IS poisoning (r3 run #1's
                 # failure mode) even while the loss still looks finite
@@ -830,9 +853,9 @@ def main():
                     f"{float(snap_sched):.2f}) — rolling back",
                     flush=True,
                 )
-                rollback(i)
+                aborted = rollback(i)
                 pending = None
-                if rollbacks >= 12:
+                if aborted:
                     print("ABORT: persistent divergence", flush=True)
                     break
                 continue
@@ -858,7 +881,7 @@ def main():
                 "alive_events": alive,
                 "nan_steps_so_far": nan_steps,
                 "lr_mult": lr_mult,
-                "rollbacks": total_rollbacks,
+                "rollbacks": guard.total_rollbacks,
                 "regress_rollbacks": regress_rollbacks,
             }
             if args.gain_refit:
@@ -870,6 +893,20 @@ def main():
                     float(snr_db(target[..., :half], raw_recon[..., :half])),
                     3,
                 )
+            if holdout is not None:
+                # generalization trajectory (VERDICT r4 item 6): encode/
+                # decode an unseen segment with the current params; the
+                # refit path is part of decode when --gain-refit is on
+                _, ho_recon, _, _, _ = reconstruct(
+                    params, eval_key, holdout * fade, holdout
+                )
+                entry["holdout_first_half_snr_db"] = round(float(
+                    snr_db(holdout[..., :half], ho_recon[..., :half])), 3)
+                entry["holdout_first_half_lsd_db"] = round(float(
+                    lsd_db(holdout[..., :half], ho_recon[..., :half],
+                           window, step_sz)), 3)
+                entry["holdout_first_half_pif_dist"] = round(
+                    pif_dist(holdout[..., :half], ho_recon[..., :half]), 4)
             if n_win > 1:
                 # per-window first-half SNR: every position the decode
                 # walk visits, scored on ITS window's covered half.
@@ -935,6 +972,9 @@ def main():
                         os.path.join(args.out, "ema_best.pkl"),
                         ema, None, i,
                     )
+                    commit_artifacts(
+                        [os.path.join(args.out, "ema_best.pkl")]
+                    )
                 if e_sel > best_artifact:
                     best_artifact = e_sel
                     write_wav(
@@ -998,8 +1038,10 @@ def main():
                     ema = params
                     lr_mult *= 0.5
                     good_streak = 0
-                    gnorm_hist = []
-                    good = best_eval
+                    # forget the abandoned trajectory: rollback target
+                    # AND any pending snapshot candidate from the
+                    # collapsing basin (ADVICE r4 medium finding)
+                    guard.catastrophic_restore((params, opt_state), be_step)
                     pending = None
                     clear_handoff()
                     print(
@@ -1065,6 +1107,9 @@ def main():
                     os.path.join(args.out, "walk_best.pkl"),
                     walk_params, None, i,
                 )
+                commit_artifacts(
+                    [os.path.join(args.out, "walk_best.pkl")]
+                )
                 write_wav(
                     os.path.join(args.out, "recon_walk_best.wav"),
                     np.asarray(w_refit[0, 0]), 22050,
@@ -1101,6 +1146,10 @@ def main():
             float(best_aligned), 3
         )
     write_metrics()
+    commit_artifacts(
+        [os.path.join(args.out, n) for n in ("ema_best.pkl", "walk_best.pkl")],
+        force=True,
+    )
     print(f"done: best first-half SNR {best_snr:.2f} dB", flush=True)
 
 

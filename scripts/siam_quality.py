@@ -47,6 +47,7 @@ from mptpu.models.siam import (
     siam_transform,
 )
 from mptpu.train import optimizer, trust_ratio_clip, CheckpointManager
+from mptpu.utils.jsonio import dump_json
 
 
 def spectral_metrics(target: jax.Array, recon: jax.Array, window: int, step: int):
@@ -602,7 +603,7 @@ def main():
             metrics["eval"].append(entry)
             print("eval", json.dumps(entry), flush=True)
             with open(os.path.join(args.out, "metrics.json"), "w") as f:
-                json.dump({**metrics, "losses": prior_losses + losses}, f, indent=1)
+                dump_json({**metrics, "losses": prior_losses + losses}, f, indent=1)
         ckpt.maybe_save(i, params, opt_state)
         if time.perf_counter() - run_start > args.watchdog_s:
             print("time budget reached — exiting cleanly", flush=True)
@@ -623,7 +624,7 @@ def main():
         final_step,
     )
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
-        json.dump({**metrics, "losses": prior_losses + losses}, f, indent=1)
+        dump_json({**metrics, "losses": prior_losses + losses}, f, indent=1)
     print("done", flush=True)
 
 

@@ -23,7 +23,18 @@ cd "$(dirname "${BASH_SOURCE[0]}")/.." || exit 1
 # ~1 h after the new PROGRESS.jsonl start) — so the cap must come from
 # the CALLER's current knowledge, not a baked-in epoch. Default keeps
 # the old value only as a backstop.
-ROUND_END="${ROUND_END:-1787227200}"
+if [ -z "${ROUND_END:-}" ] && [ -z "${DEADLINE_EPOCH:-}" ]; then
+  # Refuse to guess: a baked-in epoch goes stale the moment a VM reset
+  # moves the round clock (ADVICE r4 — the old 1787227200 backstop
+  # would cap every post-12:00Z launch into an immediate exit).
+  echo "ERROR: set ROUND_END or DEADLINE_EPOCH (epoch seconds)" >&2
+  exit 2
+fi
+ROUND_END="${ROUND_END:-$DEADLINE_EPOCH}"
+if [ "$ROUND_END" -le "$(date +%s)" ]; then
+  echo "ERROR: ROUND_END $ROUND_END is already in the past" >&2
+  exit 2
+fi
 if [ -z "${DEADLINE_EPOCH:-}" ] || [ "${DEADLINE_EPOCH}" -gt "$ROUND_END" ]; then
   export DEADLINE_EPOCH="$ROUND_END"
 fi

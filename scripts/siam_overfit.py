@@ -280,6 +280,12 @@ def main():
                         "optimizer instability, not a better optimum; this "
                         "makes progress monotone-ish under it")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--grad-anatomy-from", type=int, default=0,
+                   help="from this iter on, fetch PER-LEAF gradient "
+                        "norms every step into out/grad_anatomy.jsonl "
+                        "(cliff forensics; deterministic replay under "
+                        "--fixed-noise). Probe runs only — costs a "
+                        "second backward per step")
     p.add_argument("--commit-artifacts", action="store_true",
                    help="git-commit metrics.json (every eval) and the "
                         "best-checkpoint pkls (rate-limited, 15 min) so "
@@ -724,6 +730,27 @@ def main():
         )
         metrics.setdefault("walk", [])
 
+    grad_leaf_norms = None
+    anatomy_f = None
+    if args.grad_anatomy_from:
+        # cliff forensics (VERDICT r4 item 3): under --fixed-noise the
+        # iter-~153 full-config storm reproduces deterministically, so
+        # replaying the first ~200 steps with per-leaf gradient norms
+        # fetched every step names WHICH parameter leaf carries the
+        # spike (global gnorm hides it: nan_hunt4 saw finite leaves and
+        # gnorm 3e13). Costs a second backward + a host sync per step —
+        # probe runs only.
+        @jax.jit
+        def grad_leaf_norms(params, key, wave_w, f_tgt, tgt, tgt_e_half):
+            grads = jax.grad(loss_fn, has_aux=True)(
+                params, key, wave_w, f_tgt, tgt, tgt_e_half
+            )[0]
+            return jax.tree_util.tree_map(
+                lambda g: jnp.sqrt(jnp.sum(g * g)), grads
+            )
+
+        anatomy_f = open(os.path.join(args.out, "grad_anatomy.jsonl"), "a")
+
     pending = None  # (i, loss, wave, gnorm, ok) of the PREVIOUS step
     for i in range(start_step, args.iterations):
         last_i = i
@@ -741,6 +768,19 @@ def main():
         else:
             w = i % n_win
         f_tgt_w, tgt_w, tgt_e_w = window_inputs(w, i)
+        if anatomy_f is not None and i >= args.grad_anatomy_from:
+            norms = grad_leaf_norms(
+                params, step_key, jnp.float32(args.waveform_weight),
+                f_tgt_w, tgt_w, tgt_e_w,
+            )
+            flat = {
+                jax.tree_util.keystr(kp): float(v)
+                for kp, v in jax.tree_util.tree_flatten_with_path(norms)[0]
+            }
+            anatomy_f.write(json.dumps(
+                {"iter": i, "window": w, "leaf_gnorms": flat}
+            ) + "\n")
+            anatomy_f.flush()
         params, opt_state, ema, loss, wave, gnorm, ok, raw_tail = train_step(
             params, opt_state, ema, step_key,
             jnp.float32(args.waveform_weight),

@@ -116,6 +116,21 @@ class SIAMModel(nn.Module):
     #   the degree-256 polynomial can overflow f32 INTERNALLY once its
     #   weights grow, which the two guards above cannot prevent.
     encoder_clamp: float = 0.0
+    # spectral_skip: condition each event's generator DIRECTLY on the
+    # residual spectrogram around the selected frame, additively mixed
+    # into the event vector. Round-5 architecture A/B motivated by the
+    # holdout event-anatomy probe (trained_weights/siam_quality_anat/
+    # anatomy.json): on unseen audio the rendered event waveforms
+    # correlate with the residual at CHANCE level (rho_max 0.026 vs
+    # chance 0.033) and their oracle-placement SNR ceiling is 0.06 dB —
+    # the generator is a function of a 32-dim code reached only through
+    # the deep gated-conv stack, and that path learns no content
+    # mapping at this scale/step budget. The skip gives the decoder's
+    # SpectralResonance a LINEAR image of the local residual spectrum
+    # (pitch/timbre) that needs no deep credit assignment. Documented
+    # deviation from the reference (which has no such path,
+    # iterativedecomposition.py:192-228) — off by default.
+    spectral_skip: bool = False
 
     @property
     def n_frames(self) -> int:
@@ -169,6 +184,10 @@ class SIAMModel(nn.Module):
             n_layers=2,
             shapes=self.resonance.shape_spec,
         )
+        if self.spectral_skip:
+            self.spec_skip_proj = nn.Dense(
+                self.context_dim, kernel_init=uniform_init(0.02)
+            )
 
     def encode(self, transformed: jax.Array):
         """One event per call: returns (vecs (b, 1, context), scheduling
@@ -195,6 +214,17 @@ class SIAMModel(nn.Module):
         vecs, indices = sparsify_vectors(
             jnp.transpose(event_vecs, (0, 2, 1)), attn, n_to_keep=1
         )
+        if self.spectral_skip:
+            # linear image of the residual spectrum AT the selected
+            # frame (one STFT column already spans window_size samples),
+            # signed-log compressed (the residual spec is a signed
+            # magnitude difference), added to the event vector — see the
+            # spectral_skip field docstring for the probe evidence
+            col = jnp.take_along_axis(
+                transformed, indices[:, :, None], axis=2
+            )[:, :, 0]  # (b, in_channels)
+            col = jnp.sign(col) * jnp.log1p(jnp.abs(col))
+            vecs = vecs + self.spec_skip_proj(col)[:, None, :]
         # scheduling[b, 0, indices[b]] = attn[b, 0, indices[b]]
         sel = jnp.take_along_axis(attn[:, 0, :], indices, axis=-1)  # (b, 1)
         if self.attn_floor:

@@ -280,6 +280,9 @@ def main():
                         "optimizer instability, not a better optimum; this "
                         "makes progress monotone-ish under it")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--spectral-skip", action="store_true",
+                   help="SIAMModel.spectral_skip (round-5 "
+                        "generalization A/B — see model docstring)")
     p.add_argument("--grad-anatomy-from", type=int, default=0,
                    help="from this iter on, fetch PER-LEAF gradient "
                         "norms every step into out/grad_anatomy.jsonl "
@@ -343,6 +346,7 @@ def main():
         residual_clamp_scale=args.residual_clamp,
         encoder_clamp=args.encoder_clamp,
         switch_bias_init=args.switch_bias_init,
+        spectral_skip=args.spectral_skip,
     )
 
     # ONE fixed dense segment (reference --overfit repeats one batch,
@@ -553,6 +557,7 @@ def main():
             f"residual_handoff {args.residual_handoff}, "
             f"balance_windows {args.balance_windows}, "
             f"b2 {args.b2}, trust_ratio {args.trust_ratio}, "
+            f"spectral_skip {args.spectral_skip}, "
             f"gain_reg {args.gain_reg}"
         ),
         "eval": [],

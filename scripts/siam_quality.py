@@ -177,6 +177,12 @@ def main():
                              "this removes that ceiling. Implies --dense "
                              "eval corpora (holdout stays the disjoint-"
                              "content fixed set so trajectories compare).")
+    parser.add_argument("--spectral-skip", action="store_true",
+                        help="SIAMModel.spectral_skip: condition the "
+                             "event generator directly on the residual "
+                             "spectrum at the selected frame (round-5 "
+                             "generalization A/B; see anatomy.json "
+                             "evidence in the model docstring)")
     parser.add_argument("--no-fade", action="store_true",
                         help="disable the reference's second-half target fade")
     args = parser.parse_args()
@@ -226,6 +232,7 @@ def main():
         residual_clamp_scale=args.residual_clamp,
         encoder_clamp=args.encoder_clamp,
         switch_bias_init=args.switch_bias_init,
+        spectral_skip=args.spectral_skip,
     )
 
     audio_path = None
@@ -445,6 +452,7 @@ def main():
             f"selection_floor {args.selection_floor:g}, "
             f"switch_bias_init {args.switch_bias_init:g}, "
             f"lr {args.lr:g}, "
+            f"spectral_skip {args.spectral_skip}, "
             f"corpus {'fresh-infinite' if args.fresh_corpus else ('dense' if args.dense else 'sparse')}, "
             f"fade {'off' if args.no_fade else 'on'}, "
             f"fixed_noise {args.fixed_noise}, "

@@ -53,6 +53,10 @@ n_atoms, atom_size, n_samples, n_steps, batch = 512, 512, 16384, 100, 32
 blk = 512
 if "--block" in sys.argv:
     blk = int(sys.argv[sys.argv.index("--block") + 1])
+# --lane: probe the lane-table whole-encode kernel (resident argmax-lane
+# table, pallas_fused_mp._whole_loop_lane_kernel) instead of the plain
+# whole-encode kernel
+use_lane = "--lane" in sys.argv
 rng = np.random.default_rng(0)
 d = jnp.asarray(rng.standard_normal((n_atoms, atom_size)).astype(np.float32))
 sig = jnp.asarray(rng.standard_normal((batch, 1, n_samples)).astype(np.float32))
@@ -60,7 +64,7 @@ sig = jnp.asarray(rng.standard_normal((batch, 1, n_samples)).astype(np.float32))
 a = sparse_code_fast(sig, d, n_steps=n_steps, fused=True, pipelined=True)
 b = sparse_code_fast(
     sig, d, n_steps=n_steps, fused=True, whole_loop=True, gate_tail=True,
-    block=blk,
+    block=blk, lane_table=use_lane,
 )
 jax.block_until_ready((a.residual, b.residual))
 
@@ -98,6 +102,7 @@ for i in range(batch):
 rel_energy_gap = np.abs(ra - rb) / sig_e
 report = {
     "whole_loop_block": blk,
+    "lane_table": use_lane,
     "items": int(batch),
     "items_with_any_divergence": int(diverged.any(axis=1).sum()),
     "median_first_divergence_step": float(np.median(first_div)),

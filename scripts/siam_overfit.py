@@ -283,6 +283,10 @@ def main():
     p.add_argument("--spectral-skip", action="store_true",
                    help="SIAMModel.spectral_skip (round-5 "
                         "generalization A/B — see model docstring)")
+    p.add_argument("--spectral-filter", action="store_true",
+               help="SIAMModel.spectral_filter: analysis-driven "
+                    "zero-phase source-filter stage (round-5 arm C; "
+                    "see model docstring)")
     p.add_argument("--grad-anatomy-from", type=int, default=0,
                    help="from this iter on, fetch PER-LEAF gradient "
                         "norms every step into out/grad_anatomy.jsonl "
@@ -347,6 +351,7 @@ def main():
         encoder_clamp=args.encoder_clamp,
         switch_bias_init=args.switch_bias_init,
         spectral_skip=args.spectral_skip,
+        spectral_filter=args.spectral_filter,
     )
 
     # ONE fixed dense segment (reference --overfit repeats one batch,
@@ -558,6 +563,7 @@ def main():
             f"balance_windows {args.balance_windows}, "
             f"b2 {args.b2}, trust_ratio {args.trust_ratio}, "
             f"spectral_skip {args.spectral_skip}, "
+            f"spectral_filter {args.spectral_filter}, "
             f"gain_reg {args.gain_reg}"
         ),
         "eval": [],

@@ -183,6 +183,10 @@ def main():
                              "spectrum at the selected frame (round-5 "
                              "generalization A/B; see anatomy.json "
                              "evidence in the model docstring)")
+    parser.add_argument("--spectral-filter", action="store_true",
+                   help="SIAMModel.spectral_filter: analysis-driven "
+                        "zero-phase source-filter stage (round-5 arm C; "
+                        "see model docstring)")
     parser.add_argument("--no-fade", action="store_true",
                         help="disable the reference's second-half target fade")
     args = parser.parse_args()
@@ -233,6 +237,7 @@ def main():
         encoder_clamp=args.encoder_clamp,
         switch_bias_init=args.switch_bias_init,
         spectral_skip=args.spectral_skip,
+        spectral_filter=args.spectral_filter,
     )
 
     audio_path = None
@@ -453,6 +458,7 @@ def main():
             f"switch_bias_init {args.switch_bias_init:g}, "
             f"lr {args.lr:g}, "
             f"spectral_skip {args.spectral_skip}, "
+            f"spectral_filter {args.spectral_filter}, "
             f"corpus {'fresh-infinite' if args.fresh_corpus else ('dense' if args.dense else 'sparse')}, "
             f"fade {'off' if args.no_fade else 'on'}, "
             f"fixed_noise {args.fixed_noise}, "

@@ -171,11 +171,19 @@ def main():
     # (trained_weights/kernel_block_sweep.json): 83.9 ms vs 92.0 ms per
     # encode (+9.7%); on-device equivalence re-proved at this block size
     # (kernel_parity_probe_b128.json).
+    # depth=3 (default 2): one more prefetch slot hides more of the
+    # serial gram/window DMA chain; round-5 sweep
+    # (trained_weights/kernel_depth_sweep.json): 86.4 ms vs 91.6 ms per
+    # encode (+6%), parity re-proved at this operating point
+    # (kernel_parity_probe_b128.json, depth 3). The lane-table variant
+    # measured 2.4x SLOWER (trained_weights/lane_kernel_ab.json) — its
+    # resident argmax-lane maintenance costs more VPU than the refine
+    # DMA it kills — so the plain whole-encode kernel stays judged.
     def make_coder(pipelined, whole_loop=False):
         return jax.jit(
             lambda s, d: sparse_code_fast(
                 s, d, n_steps=n_steps, fused=True, pipelined=pipelined,
-                whole_loop=whole_loop, block=128,
+                whole_loop=whole_loop, block=128, depth=3,
             )
         )
 

@@ -57,6 +57,9 @@ if "--block" in sys.argv:
 # table, pallas_fused_mp._whole_loop_lane_kernel) instead of the plain
 # whole-encode kernel
 use_lane = "--lane" in sys.argv
+depth = 2
+if "--depth" in sys.argv:
+    depth = int(sys.argv[sys.argv.index("--depth") + 1])
 rng = np.random.default_rng(0)
 d = jnp.asarray(rng.standard_normal((n_atoms, atom_size)).astype(np.float32))
 sig = jnp.asarray(rng.standard_normal((batch, 1, n_samples)).astype(np.float32))
@@ -64,7 +67,7 @@ sig = jnp.asarray(rng.standard_normal((batch, 1, n_samples)).astype(np.float32))
 a = sparse_code_fast(sig, d, n_steps=n_steps, fused=True, pipelined=True)
 b = sparse_code_fast(
     sig, d, n_steps=n_steps, fused=True, whole_loop=True, gate_tail=True,
-    block=blk, lane_table=use_lane,
+    block=blk, lane_table=use_lane, depth=depth,
 )
 jax.block_until_ready((a.residual, b.residual))
 
@@ -103,6 +106,7 @@ rel_energy_gap = np.abs(ra - rb) / sig_e
 report = {
     "whole_loop_block": blk,
     "lane_table": use_lane,
+    "depth": depth,
     "items": int(batch),
     "items_with_any_divergence": int(diverged.any(axis=1).sum()),
     "median_first_divergence_step": float(np.median(first_div)),

@@ -124,6 +124,7 @@ def main():
     # warn if an explicit argument contradicts the recorded config.
     import re
     cfg_path = os.path.join(args.run, "metrics.json")
+    cfg = ""
     if os.path.exists(cfg_path):
         try:
             with open(cfg_path) as f:
@@ -173,6 +174,11 @@ def main():
         m = re.search(r"STFT (\d+)/(\d+)", cfg)
         if m:
             window, step_sz = int(m.group(1)), int(m.group(2))
+    # round-5 conditioning flags: a checkpoint trained with them has
+    # extra params AND different encode semantics, so they must come
+    # from the recorded config (the ADVICE-r3 lesson)
+    spectral_skip = "spectral_skip True" in cfg
+    spectral_filter = "spectral_filter True" in cfg
     model = SIAMModel(
         n_samples=n_samples, context_dim=args.context_dim,
         in_channels=window // 2 + 1, hidden_channels=args.hidden,
@@ -181,6 +187,7 @@ def main():
         attn_floor=args.attn_floor, attn_leak=args.attn_leak,
         switch_clamp=args.switch_clamp, residual_clamp_scale=4.0,
         encoder_clamp=1e4,
+        spectral_skip=spectral_skip, spectral_filter=spectral_filter,
     )
 
     # the exact segment the checkpoint was fit to (overfit_stream_eval's

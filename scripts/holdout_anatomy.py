@@ -79,6 +79,8 @@ def parse_run_config(run_dir: str) -> dict:
     m = re.search(r"STFT (\d+)/(\d+)", cfg)
     out["window"], out["step"] = int(m.group(1)), int(m.group(2))
     out["fixed_noise"] = "fixed_noise True" in cfg
+    out["spectral_skip"] = "spectral_skip True" in cfg
+    out["spectral_filter"] = "spectral_filter True" in cfg
     out["config_line"] = cfg
     return out
 
@@ -179,6 +181,8 @@ def main():
         switch_clamp=cfg["switch_clamp"],
         residual_clamp_scale=cfg["residual_clamp"],
         switch_bias_init=cfg["switch_bias_init"],
+        spectral_skip=cfg["spectral_skip"],
+        spectral_filter=cfg["spectral_filter"],
     )
     payload = CheckpointManager(args.run).latest()
     if payload is None:

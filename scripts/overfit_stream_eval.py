@@ -80,6 +80,18 @@ def main():
     n_samples = 2 ** args.n_samples_log2
     n_events, hidden, context_dim = args.n_events, args.hidden, args.context_dim
     window, step_sz = 2048, 256
+    # round-5 conditioning flags from the run's recorded config (extra
+    # params + different encode semantics when trained with them)
+    spectral_skip = spectral_filter = False
+    _cfg_path = os.path.join(args.run, "metrics.json")
+    if os.path.exists(_cfg_path):
+        try:
+            with open(_cfg_path) as f:
+                _cfg = json.load(f).get("config", "")
+            spectral_skip = "spectral_skip True" in _cfg
+            spectral_filter = "spectral_filter True" in _cfg
+        except (IOError, ValueError):
+            pass
     model = SIAMModel(
         n_samples=n_samples, context_dim=context_dim,
         in_channels=window // 2 + 1, hidden_channels=hidden,
@@ -88,6 +100,7 @@ def main():
         attn_floor=args.attn_floor, attn_leak=args.attn_leak,
         switch_clamp=args.switch_clamp, residual_clamp_scale=4.0,
         encoder_clamp=1e4,
+        spectral_skip=spectral_skip, spectral_filter=spectral_filter,
     )
 
     from mptpu.data.synthetic import synthetic_audio

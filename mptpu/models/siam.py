@@ -294,10 +294,13 @@ class SIAMModel(nn.Module):
         scheduling: jax.Array,
         key: jax.Array,
         spec: Optional[jax.Array] = None,
+        spec_feat: Optional[jax.Array] = None,
     ):
         choices = self.multihead(vecs)
         ch = self.resonance(choices, scheduling, key)
-        if self.spectral_filter and spec is not None:
+        if self.spectral_filter and (
+            spec is not None or spec_feat is not None
+        ):
             # analysis-driven source-filter stage (see the
             # spectral_filter field docstring): shape the event with a
             # zero-phase envelope computed from a 64-band log-mel
@@ -305,14 +308,15 @@ class SIAMModel(nn.Module):
             # conditioning path is mel(64) -> linear gate, so content
             # (pitch band, brightness) reaches the rendered magnitude
             # without deep credit assignment; identity at init.
-            idx = jnp.argmax(scheduling[:, 0, :], axis=-1)  # (b,)
-            col = jnp.take_along_axis(
-                spec, idx[:, None, None], axis=2
-            )[:, :, 0]  # (b, in_channels)
-            feat = jnp.log1p(
-                jnp.abs(col) @ _mel_basis(self.in_channels, 64).T
-            )  # (b, 64)
-            env = jax.nn.softplus(self.spec_filter_gate(feat))
+            # At DECODE the residual does not exist: the wire carries
+            # the 64-band feature itself (spec_feat — computed by
+            # spectral_feat() at encode, ~64 int8 per event after
+            # quantization), keeping the codec contract honest.
+            if spec_feat is None:
+                spec_feat = SIAMModel.spectral_feat_static(
+                    spec, scheduling, self.in_channels
+                )
+            env = jax.nn.softplus(self.spec_filter_gate(spec_feat))
             n_bins = self.n_samples // 2 + 1
             env_full = jax.image.resize(
                 env, (env.shape[0], n_bins), "linear"
@@ -320,6 +324,18 @@ class SIAMModel(nn.Module):
             X = rfft(ch, n=self.n_samples)
             ch = irfft(X * env_full[:, None, :], n=self.n_samples)
         return ch
+
+    @staticmethod
+    def spectral_feat_static(
+        spec: jax.Array, scheduling: jax.Array, in_channels: int
+    ) -> jax.Array:
+        """The 64-band log-mel conditioning feature of ``spectral_filter``
+        for one event: residual spec (b, C, F) + its one-hot scheduling
+        (b, 1, F) -> (b, 64). This is what the wire transmits per event
+        when the filter is part of the codec."""
+        idx = jnp.argmax(scheduling[:, 0, :], axis=-1)
+        col = jnp.take_along_axis(spec, idx[:, None, None], axis=2)[:, :, 0]
+        return jnp.log1p(jnp.abs(col) @ _mel_basis(in_channels, 64).T)
 
     def iterative(
         self,
@@ -375,7 +391,8 @@ def make_iterative_fn(model: SIAMModel):
     (channels, vecs, schedules, residual_spec)``.
     """
 
-    def iterative(params, audio_or_spec, key, do_transform: bool = True):
+    def iterative(params, audio_or_spec, key, do_transform: bool = True,
+                  return_feats: bool = False):
         spec = (
             model.transform(audio_or_spec) if do_transform else audio_or_spec
         )
@@ -384,6 +401,8 @@ def make_iterative_fn(model: SIAMModel):
             bound = model.residual_clamp_scale * jnp.max(
                 jnp.abs(spec), axis=(-2, -1), keepdims=True
             )
+
+        collect_feats = bool(return_feats and model.spectral_filter)
 
         def step(carry, i):
             spec = carry
@@ -400,14 +419,25 @@ def make_iterative_fn(model: SIAMModel):
             new_spec = lax.stop_gradient(spec - current)
             if bound is not None:
                 new_spec = jnp.clip(new_spec, -bound, bound)
-            return new_spec, (ch[:, 0], v[:, 0], sched[:, 0])
+            outs = (ch[:, 0], v[:, 0], sched[:, 0])
+            if collect_feats:
+                # the wire-side conditioning feature of spectral_filter
+                # (what a codec transmits per event)
+                outs = outs + (SIAMModel.spectral_feat_static(
+                    spec, sched, model.in_channels
+                ),)
+            return new_spec, outs
 
-        residual, (chs, vs, scheds) = lax.scan(
+        residual, outs = lax.scan(
             step, spec, jnp.arange(model.n_events)
         )
+        chs, vs, scheds = outs[:3]
         channels = jnp.swapaxes(chs, 0, 1)
         vecs = jnp.swapaxes(vs, 0, 1)
         schedules = jnp.swapaxes(scheds, 0, 1)
+        if collect_feats:
+            feats = jnp.swapaxes(outs[3], 0, 1)  # (b, E, 64)
+            return channels, vecs, schedules, residual, feats
         return channels, vecs, schedules, residual
 
     return iterative

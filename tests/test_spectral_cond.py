@@ -81,3 +81,30 @@ def test_mel_basis_partition():
     # every row normalized (or empty)
     sums = M.sum(axis=1)
     assert np.all((np.abs(sums - 1.0) < 1e-4) | (sums == 0))
+
+
+def test_spec_feat_wire_roundtrip():
+    """generate(spec=...) must equal generate(spec_feat=precomputed):
+    the wire can carry the 64-band feature instead of the residual."""
+    m = tiny(spectral_skip=True, spectral_filter=True)
+    key = jax.random.PRNGKey(5)
+    audio = jax.random.normal(key, (2, 1, m.n_samples)) * 0.1
+    params = m.init(key, audio, key)
+    fn = make_iterative_fn(m)
+    out = jax.jit(lambda p, a, k: fn(p, a, k, return_feats=True))(
+        params, audio, key
+    )
+    channels, vecs, schedules, residual, feats = out
+    assert feats.shape == (2, m.n_events, 64)
+    # re-render event 0 open-loop from the wire tuple
+    ch_wire = m.apply(
+        params, vecs[:, :1], schedules[:, :1], jax.random.fold_in(key, 0),
+        spec_feat=feats[:, 0], method=SIAMModel.generate,
+    )
+    # and from the full residual spec (the encode-side path)
+    spec = m.transform(audio)
+    ch_spec = m.apply(
+        params, vecs[:, :1], schedules[:, :1], jax.random.fold_in(key, 0),
+        spec, method=SIAMModel.generate,
+    )
+    assert np.allclose(np.asarray(ch_wire), np.asarray(ch_spec), atol=1e-5)

@@ -77,6 +77,7 @@ class StormGuard:
         min_hist: int = 10,
         abort_after: int = 12,
         progress_margin: int = 100,
+        escalation_growth: float = 3.0,
     ) -> None:
         self.grad_clip = float(grad_clip)
         self.loss_catastrophe = float(loss_catastrophe)
@@ -87,9 +88,11 @@ class StormGuard:
         self.min_hist = int(min_hist)
         self.abort_after = int(abort_after)
         self.progress_margin = int(progress_margin)
+        self.escalation_growth = float(escalation_growth)
 
         self.gnorm_hist: List[float] = []
         self.last_spike_iter = -(10 ** 9)
+        self.last_spike_gnorm = 0.0
         self.last_escalation_iter = -(10 ** 9)
         # (state, iter) awaiting a clean hindsight window
         self.snap_candidate: Optional[Tuple[Any, int]] = None
@@ -131,8 +134,17 @@ class StormGuard:
         verdict = self.CLEAN
         if spiked:
             near_prev = ci - self.last_spike_iter <= self.near_window
+            # an escalation needs proximity AND magnitude growth: the
+            # sw5/cliff-probe signature grew 186x between paired spikes
+            # (7e5 -> 1.3e8), while the sw6 run showed benign CLUSTERED
+            # spikes plateauing at ~30x median (144k after 174k) whose
+            # rollbacks starved the run to lr_mult 1e-4 — the r3c
+            # "rolling back on self-healing spikes kills healthy runs"
+            # lesson, repeated one level up.
+            growing = g >= self.escalation_growth * self.last_spike_gnorm
             self.last_spike_iter = ci
-            if not bad and near_prev:
+            self.last_spike_gnorm = g
+            if not bad and near_prev and growing:
                 # escalating cliff train (sw5: spikes every ~3 checks
                 # with clean steps between — a strict consecutive
                 # counter never fires)

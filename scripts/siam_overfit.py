@@ -283,6 +283,11 @@ def main():
     p.add_argument("--spectral-skip", action="store_true",
                    help="SIAMModel.spectral_skip (round-5 "
                         "generalization A/B — see model docstring)")
+    p.add_argument("--lr-recover-steps", type=int, default=250,
+                   help="clean steps between lr_mult doublings after "
+                        "rollback halvings (sw6: recovery from 1e-4 at "
+                        "250 takes ~3k clean steps - too slow when "
+                        "benign spike clusters keep halving)")
     p.add_argument("--spectral-filter", action="store_true",
                help="SIAMModel.spectral_filter: analysis-driven "
                     "zero-phase source-filter stage (round-5 arm C; "
@@ -849,7 +854,7 @@ def main():
                 break
             continue
         good_streak += 1
-        if good_streak >= 250 and lr_mult < 1.0:
+        if good_streak >= args.lr_recover_steps and lr_mult < 1.0:
             lr_mult = min(1.0, lr_mult * 2.0)
             good_streak = 0
             print(f"lr_mult recovered -> {lr_mult:g}", flush=True)

@@ -128,7 +128,7 @@ def test_escalation_in_window_blocks_promotion():
     # trainer chose to continue (no rollback call) — promotion must
     # still be blocked
     g.classify(70, 100.0, 2e4, True)
-    assert g.classify(72, 100.0, 4e4, True) == StormGuard.BAD
+    assert g.classify(72, 100.0, 8e4, True) == StormGuard.BAD
     for i in range(73, 100):
         g.classify(i, 100.0, 5.0, True)
     ev = g.healthy_boundary(100, "state100")
@@ -217,3 +217,20 @@ def test_catastrophic_restore_clears_candidate():
     ev = g.healthy_boundary(100, "fresh")
     assert not ev.startswith("promoted")
     assert g.good == ("best_eval_state", 25)
+
+
+def test_clustered_nongrowing_spikes_tolerated():
+    """sw6 regression: benign spikes clustering within the near window
+    but NOT growing (the escalation signature grows >=3x, sw5 grew
+    186x) must stay tolerated — rolling back on them starved a healthy
+    full-config run to lr_mult 1e-4."""
+    g = mk_guard()
+    warm(g, 20)
+    assert g.classify(100, 100.0, 1.7e5, True) == StormGuard.SPIKE
+    # second spike 6 steps later, SMALLER than the first: tolerated
+    assert g.classify(106, 100.0, 1.4e5, True) == StormGuard.SPIKE
+    # third, similar magnitude: still tolerated
+    assert g.classify(112, 100.0, 1.5e5, True) == StormGuard.SPIKE
+    assert g.total_rollbacks == 0
+    # but a genuinely growing pair still escalates
+    assert g.classify(118, 100.0, 6e5, True) == StormGuard.BAD

@@ -283,6 +283,14 @@ def main():
     p.add_argument("--spectral-skip", action="store_true",
                    help="SIAMModel.spectral_skip (round-5 "
                         "generalization A/B — see model docstring)")
+    p.add_argument("--lr-floor", type=float, default=0.0,
+                   help="minimum lr_mult under rollback halvings (0 = "
+                        "unbounded). sw6 leg 2: repeated cliff-adjacent "
+                        "storms halved lr_mult to 5e-4 - the ok-gate "
+                        "skips poisoned updates and rollbacks restore "
+                        "verified states, so a floor trades slower "
+                        "cliff escape for not starving the healthy "
+                        "regime between storms")
     p.add_argument("--lr-recover-steps", type=int, default=250,
                    help="clean steps between lr_mult doublings after "
                         "rollback halvings (sw6: recovery from 1e-4 at "
@@ -662,7 +670,7 @@ def main():
         (params, opt_state), good_step = guard.rollback_target()
         abort = guard.note_rollback()
         ema = params  # drop a possibly-poisoned average
-        lr_mult *= 0.5
+        lr_mult = max(lr_mult * 0.5, args.lr_floor)
         good_streak = 0
         extra = ""
         if good_step == last_rb_step and args.fixed_noise:
@@ -1092,7 +1100,7 @@ def main():
                     # or the same trajectory repeats forever
                     params, opt_state, be_step = best_eval
                     ema = params
-                    lr_mult *= 0.5
+                    lr_mult = max(lr_mult * 0.5, args.lr_floor)
                     good_streak = 0
                     # forget the abandoned trajectory: rollback target
                     # AND any pending snapshot candidate from the

@@ -516,6 +516,9 @@ def main():
             updates, _ = trust_clip.update(updates, trust_state, params)
         new_params = optax.apply_updates(params, updates)
         ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        # a non-finite step's decode must not poison the handoff chain:
+        # zero tail = one pristine-input rotation for the next window
+        raw_tail = jnp.where(ok, raw_tail, jnp.zeros_like(raw_tail))
         params_out = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_params, params
         )
@@ -776,6 +779,7 @@ def main():
         anatomy_f = open(os.path.join(args.out, "grad_anatomy.jsonl"), "a")
 
     pending = None  # (i, loss, wave, gnorm, ok) of the PREVIOUS step
+    nonfinite_iters: list[int] = []
     for i in range(start_step, args.iterations):
         last_i = i
         step_key = (
@@ -830,9 +834,37 @@ def main():
         l = float(loss)
         g = float(gnorm)
         nan_steps += int(not bool(ok))
-        # spike/poisoning taxonomy (relative+absolute trigger, tolerated
-        # singles, two-in-12 escalation): StormGuard docstring; the
-        # thresholds and their provenance runs are documented there
+        if not bool(ok):
+            # non-finite forward/backward: the ok-gate already SKIPPED
+            # the update (params and opt_state unchanged) and the
+            # handoff tail was zeroed on device, so this step is a
+            # provable no-op — the reference's own policy is to skip
+            # such batches and continue (iterativedecomposition.py:
+            # 535-540). Rolling back + halving lr here is what ABORTED
+            # sw6 leg 3: 12 no-op storms from one cliff-adjacent (but
+            # healthy, 5.7 dB) state. Only a high RATE of non-finite
+            # steps is pathological (the model sits in a basin where
+            # most window visits blow up) — then roll back.
+            nonfinite_iters.append(ci)
+            nonfinite_iters[:] = [t for t in nonfinite_iters
+                                  if ci - t <= 100]
+            if len(nonfinite_iters) > 40:
+                print(
+                    f"iter {ci} non-finite RATE pathological "
+                    f"({len(nonfinite_iters)}/100 recent) — rolling back",
+                    flush=True,
+                )
+                nonfinite_iters.clear()
+                aborted = rollback(ci)
+                pending = None
+                if aborted:
+                    print("ABORT: persistent divergence", flush=True)
+                    metrics["aborted"] = True
+                    break
+            elif ci % 5 == 0:
+                print(f"iter {ci} non-finite step skipped (no-op)",
+                      flush=True)
+            continue
         verdict = guard.classify(ci, l, g, bool(ok))
         if verdict == StormGuard.SPIKE:
             print(
@@ -859,6 +891,7 @@ def main():
             pending = None
             if aborted:
                 print("ABORT: persistent divergence", flush=True)
+                metrics["aborted"] = True
                 break
             continue
         good_streak += 1
@@ -921,6 +954,7 @@ def main():
                 pending = None
                 if aborted:
                     print("ABORT: persistent divergence", flush=True)
+                    metrics["aborted"] = True
                     break
                 continue
         if i % args.eval_every == 0:
@@ -1214,6 +1248,12 @@ def main():
         [os.path.join(args.out, n) for n in ("ema_best.pkl", "walk_best.pkl")],
         force=True,
     )
+    if metrics.get("aborted"):
+        # no "done" sentinel: the babysitter should treat an abort as a
+        # crash and relaunch with --resume (leg 3 ended silently because
+        # ABORT still printed the completion sentinel)
+        print(f"aborted: best first-half SNR {best_snr:.2f} dB", flush=True)
+        sys.exit(3)
     print(f"done: best first-half SNR {best_snr:.2f} dB", flush=True)
 
 

@@ -171,6 +171,18 @@ class SIAMModel(nn.Module):
     # Requires spectral_skip (reuses its gathered column). Off by
     # default; documented deviation from the reference.
     spectral_filter: bool = False
+    # vec_clamp > 0: straight-through clip of the EVENT VECTOR at
+    # +/- this value. sw6 forensics (round 5): on window-1 content the
+    # encoder emitted event vectors with max |v| ~ 700 (healthy windows:
+    # O(0.3-1)) while the switch rode its clamp — the forward stayed
+    # finite (switch_clamp/encoder_clamp) but every BACKWARD through
+    # the saturated decoder path went inf, so the ok-gate skipped every
+    # window-1 update and the window could never gradient-heal (a
+    # catch-22 the rollback machinery cannot fix). The STE clip bounds
+    # the decoder's input scale (finite backward) while the identity
+    # backward still lets the loss pull a saturated vector DOWN. 0 =
+    # exact reference semantics (no such clamp exists upstream).
+    vec_clamp: float = 0.0
 
     @property
     def n_frames(self) -> int:
@@ -263,6 +275,12 @@ class SIAMModel(nn.Module):
         vecs, indices = sparsify_vectors(
             jnp.transpose(event_vecs, (0, 2, 1)), attn, n_to_keep=1
         )
+        if self.vec_clamp:
+            from ..ops.ste import straight_through
+
+            vecs = straight_through(
+                jnp.clip(vecs, -self.vec_clamp, self.vec_clamp), vecs
+            )
         if self.spectral_skip:
             # linear image of the residual spectrum AT the selected
             # frame (one STFT column already spans window_size samples),

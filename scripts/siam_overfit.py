@@ -283,6 +283,10 @@ def main():
     p.add_argument("--spectral-skip", action="store_true",
                    help="SIAMModel.spectral_skip (round-5 "
                         "generalization A/B — see model docstring)")
+    p.add_argument("--vec-clamp", type=float, default=0.0,
+                   help="STE clip of event vectors (see "
+                        "SIAMModel.vec_clamp - the window-1 saturation "
+                        "catch-22)")
     p.add_argument("--lr-floor", type=float, default=0.0,
                    help="minimum lr_mult under rollback halvings (0 = "
                         "unbounded). sw6 leg 2: repeated cliff-adjacent "
@@ -365,6 +369,7 @@ def main():
         switch_bias_init=args.switch_bias_init,
         spectral_skip=args.spectral_skip,
         spectral_filter=args.spectral_filter,
+        vec_clamp=args.vec_clamp,
     )
 
     # ONE fixed dense segment (reference --overfit repeats one batch,
@@ -579,6 +584,7 @@ def main():
             f"balance_windows {args.balance_windows}, "
             f"b2 {args.b2}, trust_ratio {args.trust_ratio}, "
             f"spectral_skip {args.spectral_skip}, "
+            f"vec_clamp {args.vec_clamp}, "
             f"spectral_filter {args.spectral_filter}, "
             f"gain_reg {args.gain_reg}"
         ),

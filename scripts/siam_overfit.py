@@ -283,6 +283,10 @@ def main():
     p.add_argument("--spectral-skip", action="store_true",
                    help="SIAMModel.spectral_skip (round-5 "
                         "generalization A/B — see model docstring)")
+    p.add_argument("--refit-stop-grad", action="store_true",
+                   help="treat OMP refit gains as constants in backward "
+                        "(see refit_recon - the ill-conditioned-solve "
+                        "inf source)")
     p.add_argument("--vec-clamp", type=float, default=0.0,
                    help="STE clip of event vectors (see "
                         "SIAMModel.vec_clamp - the window-1 saturation "
@@ -460,6 +464,17 @@ def main():
             tgt, channels, ridge=args.gain_refit, span=half
         )
         gains = jnp.clip(gains, -10.0, 10.0)
+        if args.refit_stop_grad:
+            # sw6 leg-5 forensics: a window whose events have collapsed
+            # to near-collinear channels makes the E x E refit solve
+            # ill-conditioned; its FORWARD is clip-guarded but the
+            # BACKWARD through jnp.linalg.solve is not, and ~70% of that
+            # window's training steps went non-finite (permanently
+            # no-op'd by the ok-gate). Treating the refit gains as
+            # constants (OMP-refit-as-STE) bounds the backward: the
+            # waveform gradient reaches channels scaled by the CLIPPED
+            # gains, and the mag loss still anchors absolute scale.
+            gains = jax.lax.stop_gradient(gains)
         return jnp.einsum("be,ben->bn", gains, channels)[:, None], gains
 
     # (refit_recon takes the window's own target when --stream-windows>1)

@@ -174,6 +174,11 @@ def main():
         m = re.search(r"STFT (\d+)/(\d+)", cfg)
         if m:
             window, step_sz = int(m.group(1)), int(m.group(2))
+    # capacity heuristic tied to scale (the trainers' own mapping;
+    # the config line does not record hidden/context): medium 2^15 ->
+    # 64/32, full 2^17 -> 128/32
+    if args.n_samples_log2 == 15 and args.hidden == p.get_default("hidden"):
+        args.hidden = 64
     # round-5 conditioning flags: a checkpoint trained with them has
     # extra params AND different encode semantics, so they must come
     # from the recorded config (the ADVICE-r3 lesson)

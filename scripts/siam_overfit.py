@@ -614,6 +614,25 @@ def main():
             metrics["losses"] = prior.get("losses", [])
             if prior.get("walk"):
                 metrics["walk"] = prior["walk"]
+            # MODEL-SEMANTIC flags must survive a resume: sw6's resume
+            # legs silently dropped --spectral-skip (flax ignores the
+            # stale extra params), forking the encode semantics mid-
+            # lineage. Flags that change the traced model are compared
+            # against the recorded config line and mismatches are LOUD.
+            pc = prior.get("config", "")
+            for flag, cur in (
+                ("spectral_skip", args.spectral_skip),
+                ("spectral_filter", args.spectral_filter),
+            ):
+                if f"{flag} {not cur}" in pc:
+                    print(
+                        f"WARNING: --resume with {flag}={cur} but the "
+                        f"run was recorded with {flag}={not cur} — the "
+                        "model semantics FORK here (stale params are "
+                        "silently ignored by flax). Pass the original "
+                        "flag unless the fork is intentional.",
+                        flush=True,
+                    )
         except (IOError, ValueError):
             pass
 
